@@ -1,0 +1,47 @@
+"""Fail-fast precondition checks (reference lens/tools/checker.py:5-26).
+
+Same assertions, minus the torch Conv2d probe: the ROI/dims compatibility is
+a pure arithmetic property (the stride-k center-pixel selection yields `dims`
+outputs iff roi_dim // dims stride tiles exactly), so we check it directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from lens_tpu.config import LensConfig
+
+
+def check_args(cfg: LensConfig) -> None:
+    basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
+    assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
+    ref_dir = os.path.join(basepath, cfg.reference)
+    assert os.path.exists(ref_dir), f"Reference directory does not exist: {ref_dir}"
+
+    inference_mode = not (cfg.train_model or cfg.collect_data or cfg.event_driven)
+    if inference_mode:
+        qry_dir = os.path.join(basepath, cfg.query)
+        assert os.path.exists(qry_dir), f"Query directory does not exist: {qry_dir}"
+
+    n_ref = len(os.listdir(ref_dir))
+    assert cfg.reference_places * cfg.filter <= n_ref, (
+        f"Not enough reference images for {cfg.reference_places} places"
+        f" and a filter of {cfg.filter}"
+    )
+    if inference_mode:
+        n_qry = len(os.listdir(os.path.join(basepath, cfg.query)))
+        assert cfg.query_places * cfg.filter <= n_qry, (
+            f"Not enough query images for {cfg.query_places} places"
+            f" and a filter of {cfg.filter}"
+        )
+
+    if cfg.collect_data:
+        target = os.path.join(basepath, cfg.data_name)
+        assert not os.path.exists(target), f"Data directory already exists: {target}"
+
+    # ROI / dims compatibility (checker.py:22-26 probes an actual Conv2d; the
+    # conv with kernel=stride=k emits floor((roi - k)/k) + 1 windows).
+    k = cfg.roi_dim // cfg.dims
+    assert k >= 1 and (cfg.roi_dim - k) // k + 1 == cfg.dims, (
+        "ROI dimension and final image size are incompatible"
+    )

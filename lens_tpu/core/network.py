@@ -1,0 +1,116 @@
+"""The LENS spiking network as a params pytree + pure jitted programs.
+
+Replaces the reference's nn.Sequential(conv, ReLU, Flatten, Linear, ReLU,
+Linear) -> sinabs conversion (run_model.py:136-156) with one functional
+forward:
+
+    frames -> (on-device) Bernoulli raster -> scan over T of
+    [IAF -> GEMM(in->feat) -> IAF -> GEMM(feat->out) -> IAF] -> spike counts
+
+Design notes (TPU-first):
+  - The center-pixel conv + its IAF are exact pass-throughs on binary spikes
+    with threshold 1 (conv output = selected pixel, floor(v)=v for v in
+    {0,1}), so the program rasterizes the *downsampled* image directly —
+    the device never touches the 80x80 raster.  A general input-IAF is still
+    applied so non-unit thresholds (quantized mode) stay correct.
+  - All queries are batched into the scan: per step one (Q,in)x(in,feat) and
+    one (Q,feat)x(feat,out) GEMM hit the MXU; the raster is a broadcast
+    compare against the shared threshold row U[t] (see ops/raster.py).
+  - Weights are stored (in, out) so the forward is x @ W; the reference/.pth
+    layout (out, in) is transposed by the checkpoint converter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lens_tpu.core.iaf import iaf_step
+
+
+class LensParams(NamedTuple):
+    """Inference parameters (reference SNNLayer inference mode,
+    blitnet.py:59-64: a bias-free Linear + a threshold vector per layer)."""
+
+    w_feat: jnp.ndarray  # (n_in, n_feat)
+    w_out: jnp.ndarray  # (n_feat, n_out)
+    thr_feat: jnp.ndarray  # (n_feat,) learned thresholds (training artifacts;
+    thr_out: jnp.ndarray  # (n_out,)   unused by the float spiking forward,
+    #                        matching the reference where sinabs rebuilds IAF
+    #                        layers with default threshold 1.0)
+
+
+class SpikeThresholds(NamedTuple):
+    """Per-IAF spike thresholds.  Defaults = sinabs from_model defaults (1.0);
+    the on-chip mode overrides feature/output to 10/2 (run_speck.py:143-144)."""
+
+    inp: float = 1.0
+    feat: float = 1.0
+    out: float = 1.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_v_mem", "spike_thresholds", "dtype")
+)
+def forward_counts(
+    params: LensParams,
+    intensities: jnp.ndarray,  # (Q, n_in) float32 in [0,1]
+    u_thresh: jnp.ndarray,  # (T, n_in) shared Bernoulli thresholds
+    spike_thresholds: SpikeThresholds = SpikeThresholds(),
+    min_v_mem: Optional[float] = -1.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Total output spikes per (query, reference place): the (Q, R) similarity
+    matrix of reference run_model.py:234-246 as one device program."""
+    q, n_in = intensities.shape
+    n_feat = params.w_feat.shape[1]
+    n_out = params.w_out.shape[1]
+    w_feat = params.w_feat.astype(dtype)
+    w_out = params.w_out.astype(dtype)
+    intens = intensities.astype(dtype)
+
+    def step(carry, u_t):
+        v1, v2, v3, counts = carry
+        x = (u_t[None, :] < intens).astype(dtype)  # raster (dataset.py:118-121)
+        v1, s1 = iaf_step(v1, x, spike_thresholds.inp, min_v_mem)
+        h = jnp.dot(s1, w_feat, preferred_element_type=dtype)
+        v2, s2 = iaf_step(v2, h, spike_thresholds.feat, min_v_mem)
+        h2 = jnp.dot(s2, w_out, preferred_element_type=dtype)
+        v3, s3 = iaf_step(v3, h2, spike_thresholds.out, min_v_mem)
+        return (v1, v2, v3, counts + s3), None
+
+    init = (
+        jnp.zeros((q, n_in), dtype),
+        jnp.zeros((q, n_feat), dtype),
+        jnp.zeros((q, n_out), dtype),
+        jnp.zeros((q, n_out), dtype),
+    )
+    (_, _, _, counts), _ = jax.lax.scan(step, init, u_thresh.astype(dtype))
+    return counts
+
+
+def init_inference_params(
+    n_in: int, n_feat: int, n_out: int, dtype=jnp.float32
+) -> LensParams:
+    """Zero-initialized inference params (weights come from a checkpoint)."""
+    return LensParams(
+        w_feat=jnp.zeros((n_in, n_feat), dtype),
+        w_out=jnp.zeros((n_feat, n_out), dtype),
+        thr_feat=jnp.zeros((n_feat,), dtype),
+        thr_out=jnp.zeros((n_out,), dtype),
+    )
+
+
+def params_from_numpy(
+    w_feat: np.ndarray, w_out: np.ndarray, thr_feat: np.ndarray, thr_out: np.ndarray
+) -> LensParams:
+    return LensParams(
+        w_feat=jnp.asarray(w_feat, jnp.float32),
+        w_out=jnp.asarray(w_out, jnp.float32),
+        thr_feat=jnp.asarray(thr_feat, jnp.float32).reshape(-1),
+        thr_out=jnp.asarray(thr_out, jnp.float32).reshape(-1),
+    )

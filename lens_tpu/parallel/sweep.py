@@ -1,0 +1,192 @@
+"""Hyperparameter sweep as one vmapped device program.
+
+The reference's optimizer.py runs a serial W&B random search — each trial
+retrains and re-evaluates from scratch in its own process (reference
+optimizer.py:76-104).  On TPU the entire trial batch becomes a single
+program: trial states are stacked into a leading axis and `jax.vmap` runs
+every trial's full STDP scan and inference forward simultaneously — the MXU
+sees one big batched GEMM instead of N tiny serial ones.
+
+Search space matches optimizer.py:63-67: fire_l_feat in linspace(0.1, 0.49,
+16), fire_h_feat in linspace(0.5, 1.0, 16), thr_h_feat in linspace(0.1, 0.5,
+8), objective AUC = trapezoid(Recall@N over N=[1,5,10,15,20,25])
+(optimizer.py:100-102).  W&B logging is optional; results always land in
+sweep_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, replace
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lens_tpu.config import LensConfig
+from lens_tpu.core.network import LensParams, forward_counts
+from lens_tpu.core.stdp import clamp_spikes, train_layer_scan
+from lens_tpu.data.dataset import FrameDataset
+from lens_tpu.metrics.gt import make_gt_tolerant
+from lens_tpu.metrics.vpr import recall_at_k
+from lens_tpu.ops.seqmatch import sequence_conv
+from lens_tpu.run_model import RECALL_NS, make_query_thresholds
+from lens_tpu.train_model import init_training_layers, make_sample_stream
+
+
+@dataclass
+class SweepResult:
+    trials: List[dict]  # sampled hyperparameters per trial
+    recalls: np.ndarray  # (n_trials, 6)
+    auc: np.ndarray  # (n_trials,)
+    best: int  # index of the best trial
+
+
+def sample_search_space(rng: np.random.Generator, n_trials: int) -> List[dict]:
+    """Random draws from the reference's grid (optimizer.py:63-67)."""
+    fl = np.linspace(0.1, 0.49, 16)
+    fh = np.linspace(0.5, 1.0, 16)
+    th = np.linspace(0.1, 0.5, 8)
+    return [
+        {
+            "fire_l_feat": float(rng.choice(fl)),
+            "fire_h_feat": float(rng.choice(fh)),
+            "thr_h_feat": float(rng.choice(th)),
+        }
+        for _ in range(n_trials)
+    ]
+
+
+def _stack_states(states):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def run_sweep(
+    cfg: LensConfig,
+    n_trials: int = 8,
+    seed: int = 0,
+    logger=None,
+    output_folder: Optional[str] = None,
+    use_wandb: bool = False,
+) -> SweepResult:
+    log = logger.info if logger else print
+    rng = np.random.default_rng(seed)
+    trials = sample_search_space(rng, n_trials)
+
+    # --- data (shared across trials) -------------------------------------
+    ref_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference)
+    ds = FrameDataset.load(
+        os.path.join(cfg.data_dir, cfg.reference + ".csv"),
+        ref_dir,
+        skip=cfg.filter,
+        max_samples=cfg.reference_places,
+    )
+    X = jnp.asarray(ds.train_intensities(cfg.dims))
+    idx_all = jnp.asarray(ds.labels // cfg.filter, jnp.int32)
+    n = X.shape[0]
+
+    qry_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.query)
+    qds = FrameDataset.load(
+        os.path.join(cfg.data_dir, cfg.query + ".csv"),
+        qry_dir,
+        skip=cfg.filter,
+        max_samples=cfg.query_places,
+    )
+    q_intens = jnp.asarray(qds.query_intensities_downsampled(cfg.dims))
+    u_thresh = jnp.asarray(make_query_thresholds(cfg))
+
+    # --- per-trial init (host loop; tiny), stacked into a trial axis ------
+    key = jax.random.PRNGKey(cfg.train_seed)
+    k_init, k_feat_shuf, k_out_shuf = jax.random.split(key, 3)
+    feat_states, out_states = [], []
+    feat_hyper = out_hyper = None
+    for t in trials:
+        tcfg = replace(
+            cfg,
+            fire_l_feat=t["fire_l_feat"],
+            fire_h_feat=t["fire_h_feat"],
+            thr_h_feat=t["thr_h_feat"],
+        )
+        (fs, feat_hyper), (os_, out_hyper) = init_training_layers(tcfg, k_init)
+        feat_states.append(fs)
+        out_states.append(os_)
+    feat_b = _stack_states(feat_states)
+    out_b = _stack_states(out_states)
+
+    # --- batched training: vmap over the trial axis -----------------------
+    order_f = make_sample_stream(k_feat_shuf, n, cfg.epoch_feat)
+    order_o = make_sample_stream(k_out_shuf, n, cfg.epoch_out)
+    total_f = int(cfg.reference_places * cfg.epoch_feat)
+    total_o = int(cfg.reference_places * cfg.epoch_out)
+
+    log(f"Sweep: training {n_trials} trials in one vmapped program")
+    feat_b = jax.vmap(
+        lambda st: train_layer_scan(
+            st, feat_hyper, X[order_f], idx_all[order_f], total_steps=total_f
+        )
+    )(feat_b)
+
+    def train_out(fst, ost):
+        spikes = clamp_spikes(X @ fst.w, fst.thr)
+        return train_layer_scan(
+            ost,
+            out_hyper,
+            spikes[order_o],
+            idx_all[order_o],
+            total_steps=total_o,
+            prev_fire_rate=fst.fire_rate,
+        )
+
+    out_b = jax.vmap(train_out)(feat_b, out_b)
+
+    # --- batched inference -------------------------------------------------
+    params_b = LensParams(
+        w_feat=feat_b.w, w_out=out_b.w, thr_feat=feat_b.thr, thr_out=out_b.thr
+    )
+    counts_b = jax.vmap(
+        lambda p: forward_counts(p, q_intens, u_thresh, min_v_mem=cfg.min_v_mem)
+    )(params_b)
+    counts_b = np.asarray(counts_b)
+
+    # --- metrics + objective (host; tiny) ---------------------------------
+    gt_path = os.path.join(
+        cfg.data_dir, cfg.dataset, cfg.camera, f"{cfg.reference}_{cfg.query}_GT.npy"
+    )
+    GTtol = make_gt_tolerant(np.load(gt_path), cfg.sequence_length, cfg.GT_tolerance)
+    recalls = np.zeros((n_trials, len(RECALL_NS)))
+    for i in range(n_trials):
+        dist = np.asarray(sequence_conv(counts_b[i], cfg.sequence_length))
+        recalls[i] = [recall_at_k(dist, GTtol, K=k) for k in RECALL_NS]
+    auc = np.trapezoid(recalls, np.array(RECALL_NS), axis=1)
+    best = int(np.argmax(auc))
+
+    for i, t in enumerate(trials):
+        log(f"trial {i}: {t} AUC={auc[i]:.3f} R@1={recalls[i,0]:.2f}")
+    log(f"best trial: {best} AUC={auc[best]:.3f}")
+
+    if use_wandb:
+        try:  # optional, absent in this image
+            import wandb
+
+            for i, t in enumerate(trials):
+                run = wandb.init(project="lens-tpu-sweep", config=t, reinit=True)
+                run.log({"AUC": float(auc[i])})
+                run.finish()
+        except ImportError:
+            log("wandb not installed; results saved locally only")
+
+    if output_folder:
+        with open(os.path.join(output_folder, "sweep_results.json"), "w") as f:
+            json.dump(
+                {
+                    "trials": trials,
+                    "recalls": recalls.tolist(),
+                    "auc": auc.tolist(),
+                    "best": best,
+                },
+                f,
+                indent=2,
+            )
+    return SweepResult(trials=trials, recalls=recalls, auc=auc, best=best)

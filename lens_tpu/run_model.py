@@ -1,0 +1,185 @@
+"""Inference orchestrator — the `main.py --sim_mat --matching` mode.
+
+TPU-native replacement for reference lens/run_model.py:53-396.  The reference
+iterates a torch DataLoader one query at a time through a sinabs simulation
+(run_model.py:234-242); here the whole traverse is evaluated by a single
+jitted device program (core/network.py forward_counts), and `--simulated_speck`
+swaps in the bit-accurate integer chip simulator (runtime/speck_sim.py)
+instead of requiring devkit hardware.
+
+Post-processing parity (sequence conv, GT crop/dilation/transpose, Recall@N
+table, PDF/JSON/npy artifacts) follows run_model.py:248-333 exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from lens_tpu import checker
+from lens_tpu.config import LensConfig
+from lens_tpu.core.network import SpikeThresholds, forward_counts
+from lens_tpu.data.dataset import FrameDataset, center_pixel_flat_indices
+from lens_tpu.metrics.gt import make_gt_tolerant
+from lens_tpu.metrics.vpr import create_pr, recall_at_k
+from lens_tpu.ops.raster import make_thresholds
+from lens_tpu.ops.seqmatch import sequence_conv
+from lens_tpu.runtime import artifacts
+from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized
+from lens_tpu.sad import run_sad
+from lens_tpu.utils import checkpoint
+from lens_tpu.utils.loggers import model_logger
+from lens_tpu.utils.table import ascii_table
+
+RECALL_NS = [1, 5, 10, 15, 20, 25]
+
+
+class InferenceResult:
+    def __init__(self):
+        self.recall_at_n: List[float] = []
+        self.dist_matrix: Optional[np.ndarray] = None
+        self.counts: Optional[np.ndarray] = None
+        self.frames_per_sec: float = 0.0
+        self.p50_latency_ms: float = 0.0
+        self.output_folder: str = ""
+
+
+def make_query_thresholds(cfg: LensConfig) -> np.ndarray:
+    """The shared Bernoulli threshold tensor, pre-subset to center pixels.
+
+    torch-parity mode draws the full (T, roi*roi) stream the reference draws
+    (dataset.py:120-121) and selects the center-pixel columns so the
+    downsampled compare is bitwise identical to raster-then-conv.
+    """
+    n_full = cfg.roi_dim * cfg.roi_dim
+    if cfg.raster_mode == "torch-parity":
+        U = make_thresholds("torch-parity", cfg.timebin, n_full, cfg.raster_seed)
+        return U[:, center_pixel_flat_indices(cfg.roi_dim, cfg.dims)]
+    return make_thresholds("jax", cfg.timebin, cfg.input, cfg.raster_seed)
+
+
+def compute_similarity(
+    cfg: LensConfig, params, intensities: np.ndarray, u_thresh: np.ndarray
+) -> np.ndarray:
+    """Dispatch to the float or quantized forward; returns (Q, R) counts."""
+    if cfg.simulated_speck:
+        qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
+        return np.asarray(
+            forward_counts_quantized(qp, intensities, u_thresh), np.float64
+        )
+    return np.asarray(
+        forward_counts(
+            params,
+            intensities,
+            u_thresh,
+            spike_thresholds=SpikeThresholds(),
+            min_v_mem=cfg.min_v_mem,
+        ),
+        np.float64,
+    )
+
+
+def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceResult:
+    res = InferenceResult()
+    res.output_folder = output_folder
+
+    query_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.query)
+    dataset_file = os.path.join(cfg.data_dir, cfg.query + ".csv")
+    ds = FrameDataset.load(
+        dataset_file, query_dir, skip=cfg.filter, max_samples=cfg.query_places
+    )
+    intensities = ds.query_intensities_downsampled(cfg.dims)
+    u_thresh = make_query_thresholds(cfg)
+
+    # Warm-up compile, then timed run (compile time is not query latency).
+    t0 = time.perf_counter()
+    counts = compute_similarity(cfg, params, intensities, u_thresh)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    counts = compute_similarity(cfg, params, intensities, u_thresh)
+    steady = time.perf_counter() - t0
+    n_frames = intensities.shape[0]
+    res.frames_per_sec = n_frames / steady if steady > 0 else float("inf")
+    res.p50_latency_ms = steady / n_frames * 1000.0
+    logger.info(
+        f"Evaluated {n_frames} queries x {cfg.timebin} timesteps: "
+        f"{res.frames_per_sec:,.0f} frames/s (first run incl. compile: "
+        f"{compile_and_run:.2f}s)"
+    )
+    res.counts = counts
+
+    # Sequence matching (run_model.py:248-254).
+    dist_matrix_seq = (
+        np.asarray(sequence_conv(counts, cfg.sequence_length))
+        if cfg.sequence_length != 0
+        else counts
+    )
+    res.dist_matrix = dist_matrix_seq
+
+    artifacts.save_matrix_pdf(
+        dist_matrix_seq, os.path.join(output_folder, "distance_matrix_lens.pdf")
+    )
+
+    GTtol = None
+    if cfg.matching:
+        gt_path = os.path.join(
+            cfg.data_dir,
+            cfg.dataset,
+            cfg.camera,
+            f"{cfg.reference}_{cfg.query}_GT.npy",
+        )
+        GT = np.load(gt_path)
+        GTtol = make_gt_tolerant(GT, cfg.sequence_length, cfg.GT_tolerance)
+        artifacts.save_matrix_pdf(GTtol, os.path.join(output_folder, "GTtol.pdf"))
+
+        res.recall_at_n = [
+            round(recall_at_k(dist_matrix_seq, GTtol, K=n), 2) for n in RECALL_NS
+        ]
+        table = ascii_table(
+            ["N", *map(str, RECALL_NS)], [["Recall", *res.recall_at_n]]
+        )
+        logger.info("\n%s", table)
+
+    if cfg.sim_mat:
+        artifacts.save_similarity_heatmap(
+            dist_matrix_seq, os.path.join(output_folder, "similarity_matrix.pdf")
+        )
+
+    lens_pr = None
+    if cfg.PR_curve and GTtol is not None:
+        P, R, overlay = create_pr(
+            dist_matrix_seq.T, GTtol.T, matching="single", n_thresh=100
+        )
+        artifacts.save_pr_overlay(
+            dist_matrix_seq.T, GTtol.T, overlay, output_folder, datatype="LENS"
+        )
+        lens_pr = {"Precision": P, "Recall": R}
+
+    if cfg.sad and GTtol is not None:
+        reference_dir = os.path.join(
+            cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference
+        )
+        sad_pr, sad_recall = run_sad(
+            reference_dir, query_dir, GTtol, output_folder, cfg.sequence_length
+        )
+        if lens_pr is not None:
+            artifacts.plot_pr_comparison(lens_pr, sad_pr, output_folder)
+        artifacts.plot_recall_comparison(
+            res.recall_at_n, sad_recall, RECALL_NS, output_folder
+        )
+
+    logger.info("")
+    logger.info("Successfully completed inferencing using LENS")
+    return res
+
+
+def run_inference(cfg: LensConfig) -> InferenceResult:
+    """Full inference mode: checks, logging, model load, evaluate
+    (reference run_inference, run_model.py:360-396)."""
+    checker.check_args(cfg)
+    logger, output_folder = model_logger(cfg.output_base)
+    params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
+    return evaluate(cfg, params, logger, output_folder)

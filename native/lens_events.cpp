@@ -1,0 +1,188 @@
+// LENS-TPU native event-stream runtime.
+//
+// Replaces the closed-source samna C++ driver surface the reference leans on
+// for DVS preprocessing (reference run_speck.py:258-271: hot-pixel filter with
+// threshold 5, ROI origin/cut crop, channel merge) and the per-event Python
+// hot loops in collect_data.py:193-202 and tools/dvstools.py:288-361.  The
+// host-side event decode/accumulate is the one part of the pipeline XLA cannot
+// express (variable-length streams); everything downstream is JAX.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o liblens_events.so lens_events.cpp
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// Accumulate a timestamp-sorted event stream into per-timebin count frames.
+//
+//   t          : (n) event timestamps, seconds
+//   x, y       : (n) pixel coordinates (sensor space)
+//   n          : number of events
+//   t0         : stream start; <0 means "use first event's timestamp"
+//                (reference dvstools.py:294-297 initializes the offset lazily)
+//   timebin_s  : frame interval in seconds (1/timebin of dvstools.py:174)
+//   roi_x/y    : ROI origin (reference run_speck.py:268-269: (23, 0))
+//   roi_w/h    : ROI size  (cut - origin + 1; 80x80 on the Speck path)
+//   hot_thresh : per-bin per-pixel event cap; counts above it are clamped and
+//                the pixel flagged hot for that bin (software analogue of the
+//                chip's dvs_filter.threshold = 5, run_speck.py:262-264).
+//                <= 0 disables the filter.
+//   frames     : out, (max_frames, roi_h, roi_w) uint32, zero-initialized here
+//   max_frames : capacity of `frames`
+//
+// Returns the number of frames written (the last, partial bin included).
+int64_t lens_accumulate_frames(const double* t, const uint16_t* x,
+                               const uint16_t* y, int64_t n, double t0,
+                               double timebin_s, int roi_x, int roi_y,
+                               int roi_w, int roi_h, int hot_thresh,
+                               uint32_t* frames, int64_t max_frames) {
+  if (n <= 0 || max_frames <= 0) return 0;
+  const int64_t frame_px = (int64_t)roi_w * roi_h;
+  std::memset(frames, 0, sizeof(uint32_t) * frame_px * max_frames);
+  if (t0 < 0) t0 = t[0];
+
+  int64_t frame_idx = 0;
+  double frame_end = t0 + timebin_s;
+  uint32_t* cur = frames;
+
+  auto finish_bin = [&]() {
+    if (hot_thresh > 0) {
+      for (int64_t p = 0; p < frame_px; ++p)
+        if (cur[p] > (uint32_t)hot_thresh) cur[p] = (uint32_t)hot_thresh;
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (t[i] < t0) continue;  // pre-start events skipped (dvstools.py:300)
+    while (t[i] >= frame_end) {
+      finish_bin();
+      if (++frame_idx >= max_frames) return frame_idx;
+      cur = frames + frame_idx * frame_px;
+      frame_end += timebin_s;
+    }
+    const int xr = (int)x[i] - roi_x;
+    const int yr = (int)y[i] - roi_y;
+    if (xr < 0 || xr >= roi_w || yr < 0 || yr >= roi_h) continue;  // ROI cut
+    cur[(int64_t)yr * roi_w + xr] += 1;  // polarity-merged (dvs_layer.merge)
+  }
+  finish_bin();
+  return frame_idx + 1;
+}
+
+// Per-pixel exponential-decay frame representation
+// (reference dvstools.py decay_rep, 305-316 / 334-342):
+//   on each event: frame[p] = frame[p] * exp(-lambda * dt_since_last) + accum
+//   at bin close:  frame    = frame    * exp(-lambda * (interval - active))
+// Emits float frames; caller converts/quantizes.
+int64_t lens_decay_frames(const double* t, const uint16_t* x, const uint16_t* y,
+                          int64_t n, double t0, double timebin_s,
+                          double decay_lambda, double accum, int width,
+                          int height, float* frames, int64_t max_frames) {
+  if (n <= 0 || max_frames <= 0) return 0;
+  const int64_t frame_px = (int64_t)width * height;
+  std::memset(frames, 0, sizeof(float) * frame_px * max_frames);
+  if (t0 < 0) t0 = t[0];
+
+  std::vector<double> state(frame_px, 0.0);
+  std::vector<double> last_update(frame_px, t0);
+  std::vector<double> active(frame_px, 0.0);
+
+  int64_t frame_idx = 0;
+  double frame_end = t0 + timebin_s;
+
+  auto close_bin = [&]() {
+    for (int64_t p = 0; p < frame_px; ++p) {
+      const double tail = timebin_s - active[p];
+      const double v = state[p] * std::exp(-decay_lambda * (tail > 0 ? tail : 0));
+      frames[frame_idx * frame_px + p] = (float)v;
+      state[p] = v;
+      active[p] = 0.0;
+      last_update[p] = frame_end;
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (t[i] < t0) continue;
+    while (t[i] >= frame_end) {
+      close_bin();
+      if (++frame_idx >= max_frames) return frame_idx;
+      frame_end += timebin_s;
+    }
+    if (x[i] >= width || y[i] >= height) continue;
+    const int64_t p = (int64_t)y[i] * width + x[i];
+    const double dt = t[i] - last_update[p];
+    active[p] += dt;
+    state[p] = state[p] * std::exp(-decay_lambda * dt) + accum;
+    last_update[p] = t[i];
+  }
+  close_bin();
+  return frame_idx + 1;
+}
+
+// Identify hot pixels: pixels whose total event count exceeds
+// `count_threshold` across the stream (offline analogue of the exclusion
+// lists consumed by dvstools.py:122-128).  Returns number found; writes up to
+// max_out (x, y) pairs.
+int64_t lens_find_hot_pixels(const uint16_t* x, const uint16_t* y, int64_t n,
+                             int width, int height, int64_t count_threshold,
+                             uint16_t* out_xy, int64_t max_out) {
+  std::vector<int64_t> counts((int64_t)width * height, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (x[i] < width && y[i] < height) counts[(int64_t)y[i] * width + x[i]]++;
+  }
+  int64_t found = 0;
+  for (int yy = 0; yy < height && found < max_out; ++yy)
+    for (int xx = 0; xx < width && found < max_out; ++xx)
+      if (counts[(int64_t)yy * width + xx] > count_threshold) {
+        out_xy[found * 2] = (uint16_t)xx;
+        out_xy[found * 2 + 1] = (uint16_t)yy;
+        ++found;
+      }
+  return found;
+}
+
+// Parse a whitespace text event file ("t x y pol" lines after an optional
+// "width height" header — the format ExtractRosbag emits, dvstools.py:73-79).
+// Two-pass ctypes-friendly API: first call with events=nullptr to count.
+int64_t lens_parse_text_events(const char* path, double* t, uint16_t* x,
+                               uint16_t* y, uint8_t* pol, int64_t capacity,
+                               int* width, int* height) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  char line[256];
+  int64_t count = 0;
+  *width = 0;
+  *height = 0;
+  bool first = true;
+  while (std::fgets(line, sizeof(line), f)) {
+    double a, b, c, d;
+    const int got = std::sscanf(line, "%lf %lf %lf %lf", &a, &b, &c, &d);
+    if (first && got == 2) {  // header: "width height"
+      *width = (int)a;
+      *height = (int)b;
+      first = false;
+      continue;
+    }
+    first = false;
+    if (got < 4) continue;
+    if (t != nullptr) {
+      if (count >= capacity) break;
+      t[count] = a;
+      x[count] = (uint16_t)b;
+      y[count] = (uint16_t)c;
+      pol[count] = (uint8_t)d;
+    }
+    ++count;
+  }
+  std::fclose(f);
+  return count;
+}
+
+}  // extern "C"

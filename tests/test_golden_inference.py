@@ -1,0 +1,57 @@
+"""Golden end-to-end test: the full inference pipeline on the bundled example
+dataset with the bundled pretrained model must reproduce the reference
+pipeline's Recall@N (BASELINE.md: 0.63-0.65 / 0.88 / 0.94-0.95 / 0.98 /
+0.98-0.99 / 0.99 with defaults dims=10, timebin=250, seq=2, GT_tol=3)."""
+
+import numpy as np
+import pytest
+
+from lens_tpu.core.network import forward_counts
+from lens_tpu.data.dataset import FrameDataset, center_pixel_flat_indices
+from lens_tpu.metrics.gt import make_gt_tolerant
+from lens_tpu.metrics.vpr import recall_at_k
+from lens_tpu.ops.raster import make_thresholds
+from lens_tpu.ops.seqmatch import sequence_conv
+from lens_tpu.utils.checkpoint import load_pth
+
+# Pinned from a bit-exact run of this pipeline (matches the emulated
+# reference pipeline of run_model.py:122-308 — see BASELINE.md).
+GOLDEN_RECALL = [0.65, 0.88, 0.95, 0.98, 0.98, 0.99]
+GOLDEN_COUNT_SUM = 12053.0
+
+
+@pytest.fixture(scope="module")
+def golden_setup(example_paths):
+    ds = FrameDataset.load(
+        example_paths["query_csv"], example_paths["query_dir"], max_samples=100
+    )
+    params = load_pth(example_paths["model"])
+    U = make_thresholds("torch-parity", 250, 6400)[
+        :, center_pixel_flat_indices(80, 10)
+    ]
+    return ds, params, U
+
+
+def test_golden_recall(golden_setup, example_paths):
+    ds, params, U = golden_setup
+    counts = np.asarray(forward_counts(params, ds.query_intensities_downsampled(10), U))
+    assert counts.shape == (100, 100)
+    assert counts.sum() == GOLDEN_COUNT_SUM
+
+    dist = np.asarray(sequence_conv(counts, 2))
+    GT = np.load(example_paths["gt"])
+    GTtol = make_gt_tolerant(GT, seq_len=2, tolerance=3)
+    R = [round(recall_at_k(dist, GTtol, K=k), 2) for k in (1, 5, 10, 15, 20, 25)]
+    assert R == GOLDEN_RECALL
+
+
+def test_jax_raster_statistical_equivalence(golden_setup, example_paths):
+    """Native-PRNG rasters must land within the 1% Recall@1 parity budget."""
+    ds, params, _ = golden_setup
+    U = make_thresholds("jax", 250, 100)
+    counts = np.asarray(forward_counts(params, ds.query_intensities_downsampled(10), U))
+    dist = np.asarray(sequence_conv(counts, 2))
+    GT = np.load(example_paths["gt"])
+    GTtol = make_gt_tolerant(GT, seq_len=2, tolerance=3)
+    r1 = recall_at_k(dist, GTtol, K=1)
+    assert abs(r1 - GOLDEN_RECALL[0]) <= 0.05
