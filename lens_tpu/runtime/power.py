@@ -1,0 +1,99 @@
+"""Software power/energy model replacing the Speck power monitor.
+
+The reference samples five physical power rails (io/ram/logic/vddd/vdda) at
+20 Hz through samna and stores them as `power_data.npy` (reference
+run_speck.py:301-307, 345-354; BASELINE.md mean ~2.67 mW during inference).
+A TPU host cannot measure a neuromorphic chip's rails, so this module provides
+an explicit *activity-based energy model* producing the same artifact shape:
+per-rail (timestamp, watts) traces sampled at 20 Hz.
+
+Model (documented, first-party):
+  - logic rail: E_synop * synops/s — synaptic operations dominate dynamic
+    power; E_synop defaults to 10 pJ (digital async CNN cores are single-digit
+    pJ/SOP class hardware).
+  - ram  rail: E_sram * synops/s — weight fetch per synop.
+  - io   rail: E_event * events/s — AER input bandwidth.
+  - vddd/vdda: constant static floors.
+Defaults are calibrated so that the reference workload (~1 query/s,
+~10^5 events/s, ~2.4 M synop/s) lands near the published ~2.67 mW total,
+making relative comparisons meaningful.  These are estimates, not
+measurements — consumers needing ground truth must profile real hardware.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+RAILS = ["io", "ram", "logic", "vddd", "vdda"]
+
+
+@dataclass
+class PowerModel:
+    e_synop_j: float = 10e-12  # J per synaptic operation (logic)
+    e_sram_j: float = 5e-12  # J per synop weight fetch (ram)
+    e_event_j: float = 600e-12  # J per input AER event (io)
+    p_static_vddd_w: float = 0.09e-3  # static rails (BASELINE.md split)
+    p_static_vdda_w: float = 0.64e-3
+
+    def rail_powers(self, events_per_s: float, synops_per_s: float) -> dict:
+        return {
+            "io": self.e_event_j * events_per_s,
+            "ram": self.e_sram_j * synops_per_s,
+            "logic": self.e_synop_j * synops_per_s,
+            "vddd": self.p_static_vddd_w,
+            "vdda": self.p_static_vdda_w,
+        }
+
+
+@dataclass
+class PowerMonitor:
+    """Accumulates activity and emits 20 Hz rail traces
+    (artifact-compatible with run_speck.py:345-354)."""
+
+    model: PowerModel = field(default_factory=PowerModel)
+    sample_hz: float = 20.0
+    _records: List[tuple] = field(default_factory=list)  # (t, events, synops, dt)
+    _t0: float = field(default_factory=time.time)
+
+    def record_bin(self, n_events: float, n_synops: float, duration_s: float) -> None:
+        self._records.append((time.time() - self._t0, n_events, n_synops, duration_s))
+
+    def traces(self) -> List[np.ndarray]:
+        """Five (n_samples, 2) float arrays of (timestamp, watts), 20 Hz."""
+        if not self._records:
+            return [np.zeros((0, 2)) for _ in RAILS]
+        end = max(t + d for t, _, _, d in self._records)
+        ts = np.arange(0.0, end + 1e-9, 1.0 / self.sample_hz)
+        ev_rate = np.zeros_like(ts)
+        syn_rate = np.zeros_like(ts)
+        for t, ev, syn, d in self._records:
+            mask = (ts >= t) & (ts < t + max(d, 1.0 / self.sample_hz))
+            if mask.any() and d > 0:
+                ev_rate[mask] += ev / d
+                syn_rate[mask] += syn / d
+        out = []
+        for rail in RAILS:
+            watts = np.array(
+                [
+                    self.model.rail_powers(e, s)[rail]
+                    for e, s in zip(ev_rate, syn_rate)
+                ]
+            )
+            out.append(np.stack([ts, watts], axis=1))
+        return out
+
+    def save(self, path: str) -> None:
+        np.save(path, np.array(self.traces(), dtype=object), allow_pickle=True)
+
+    def mean_total_mw(self) -> float:
+        traces = self.traces()
+        return float(sum(tr[:, 1].mean() for tr in traces if len(tr)) * 1e3)
+
+
+def count_synops(spikes_in_per_layer: List[float], fan_outs: List[int]) -> float:
+    """Synaptic operations = sum over layers of input spikes x fan-out."""
+    return float(sum(s * f for s, f in zip(spikes_in_per_layer, fan_outs)))

@@ -1,0 +1,223 @@
+"""Online event-driven streaming VPR — the `--event_driven` mode.
+
+Replaces the reference's hardware path (reference run_speck.py:107-358:
+samna event graph + Speck2f chip + GUI + two unsynchronized threads) with a
+race-free software pipeline:
+
+  event source ──► native accumulate (ROI crop, hot-pixel filter, timebin
+  cadence — run_speck.py:261-271 semantics) ──► quantized spiking network
+  with the on-chip threshold overrides 10/2 (run_speck.py:143-144) ──►
+  per-bin output spike counts ──► online sequence matcher
+  (run_speck.py:177-226 semantics) ──► similarity_matrix.npy + match log
+
+The reference mutates self.qry/self.sum/self.sequence from a samna callback
+thread while a matcher thread reads them with no lock (SURVEY.md §3.4 flags
+the race); here the pipeline is a single ordered loop over timebins, so the
+shared-state race cannot exist by construction.
+
+Event sources:
+  - `--event_file file.txt|file.npy`: replay a recorded DVS stream
+  - otherwise: replay the query traverse's PNG event frames (each PNG is one
+    accumulated timebin, the format collect_data produces)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lens_tpu import checker
+from lens_tpu.config import LensConfig
+from lens_tpu.core.iaf import iaf_step_int
+from lens_tpu.core.network import SpikeThresholds
+from lens_tpu.data.dataset import FrameDataset, center_pixel_indices
+from lens_tpu.ops.seqmatch import online_sequence_conv
+from lens_tpu.runtime import events_native
+from lens_tpu.runtime.power import PowerMonitor
+from lens_tpu.runtime.speck_sim import QuantizedParams, discretize
+from lens_tpu.utils import checkpoint
+from lens_tpu.utils.loggers import model_logger
+
+# On-chip spike thresholds for the streaming mode (run_speck.py:143-144).
+STREAM_THRESHOLDS = SpikeThresholds(inp=1.0, feat=10.0, out=2.0)
+QUERIES_PER_SEQUENCE = 4  # run_speck.py:180: average every 4 timebins
+SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def stream_forward_counts(
+    qparams: QuantizedParams, counts_in: jnp.ndarray, steps: int
+) -> jnp.ndarray:
+    """Quantized forward for one bin of *event counts* (not intensities).
+
+    The chip integrates events as they arrive; the time-based simulation
+    spreads each pixel's per-bin event count evenly over `steps` integer IAF
+    steps (deterministic raster: step t carries
+    floor(c*(t+1)/steps) - floor(c*t/steps) spikes), preserving total input
+    counts exactly.  counts_in: (Q, n_in) int32.  Returns (Q, n_out) int32.
+    """
+    q, n_in = counts_in.shape
+    n_feat = qparams.w_feat.shape[1]
+    n_out = qparams.w_out.shape[1]
+    wf = qparams.w_feat.astype(jnp.float32)
+    wo = qparams.w_out.astype(jnp.float32)
+    c = counts_in.astype(jnp.float32)
+
+    def step(carry, t):
+        v2, v3, acc = carry
+        tf = t.astype(jnp.float32)
+        x = jnp.floor(c * (tf + 1.0) / steps) - jnp.floor(c * tf / steps)
+        h = jnp.dot(x, wf, preferred_element_type=jnp.float32).astype(jnp.int32)
+        v2, s2 = iaf_step_int(v2, h, qparams.thr_feat, qparams.minv_feat)
+        h2 = jnp.dot(
+            s2.astype(jnp.float32), wo, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
+        return (v2, v3, acc + s3), None
+
+    init = (
+        jnp.zeros((q, n_feat), jnp.int32),
+        jnp.zeros((q, n_out), jnp.int32),
+        jnp.zeros((q, n_out), jnp.int32),
+    )
+    (_, _, acc), _ = jax.lax.scan(step, init, jnp.arange(steps))
+    return acc
+
+
+def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
+    """Accumulate a recorded event stream into (F, roi, roi) count frames."""
+    path = cfg.event_file
+    if path.endswith(".npy"):
+        arr = np.load(path)  # (N, 4): t x y pol
+        t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
+    else:
+        t, x, y, _, _ = events_native.parse_text_events(path)
+    return events_native.accumulate_frames(
+        t,
+        x,
+        y,
+        timebin_s=cfg.timebin / 1000.0,  # spike_collection interval is ms
+        roi_origin=(23, 0),  # run_speck.py:268-271
+        roi_size=(cfg.roi_dim, cfg.roi_dim),
+        hot_pixel_threshold=5,  # run_speck.py:264
+    )
+
+
+def frame_source(cfg: LensConfig) -> Tuple[np.ndarray, str]:
+    """(F, roi, roi) frames + description of the source."""
+    if cfg.event_file:
+        return frames_from_event_file(cfg), f"event stream {cfg.event_file}"
+    query_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.query)
+    ds = FrameDataset.load(
+        os.path.join(cfg.data_dir, cfg.query + ".csv"),
+        query_dir,
+        skip=cfg.filter,
+        max_samples=cfg.query_places,
+    )
+    return ds.frames.astype(np.uint32), f"frame replay {query_dir}"
+
+
+class OnlineMatcher:
+    """Rolling sequence matcher (run_speck.py:177-226 semantics, race-free).
+
+    Collects per-bin output spike-count vectors; every QUERIES_PER_SEQUENCE
+    bins their integer-mean becomes one sequence row; every SEQUENCE_ROWS rows
+    it runs the 'same' diagonal convolution, takes the argmax place per
+    column, appends the block to the growing similarity matrix, and resets.
+    """
+
+    def __init__(self, n_places: int, sequence_length: int, output_folder: str, logger):
+        self.n_places = n_places
+        self.L = sequence_length
+        self.output_folder = output_folder
+        self.logger = logger
+        self._bin_sum = np.zeros(n_places, dtype=np.int64)
+        self._bins = 0
+        self._rows: list = []
+        self.matrix: Optional[np.ndarray] = None
+        self.matches: list = []
+
+    def push(self, counts: np.ndarray) -> None:
+        self._bin_sum += counts.astype(np.int64)
+        self._bins += 1
+        if self._bins < QUERIES_PER_SEQUENCE:
+            return
+        self._rows.append(self._bin_sum // QUERIES_PER_SEQUENCE)  # run_speck.py:195
+        self._bin_sum = np.zeros(self.n_places, dtype=np.int64)
+        self._bins = 0
+        if len(self._rows) < SEQUENCE_ROWS:
+            return
+        block = np.stack(self._rows)  # (4, n_places)
+        result = online_sequence_conv(block, self.L)  # (n_places, 4)
+        argmax_cols = np.argmax(result, axis=0)
+        self.logger.info("")
+        self.logger.info(r"\\\\\ Place matching result ////")
+        for i, a in enumerate(argmax_cols):
+            self.logger.info(
+                f"The sequence match location for {i} is place number: {a}"
+            )
+        self.logger.info("")
+        self.matches.extend(int(a) for a in argmax_cols)
+        self.matrix = (
+            result
+            if self.matrix is None
+            else np.concatenate((self.matrix, result), axis=1)
+        )
+        np.save(
+            os.path.join(self.output_folder, "similarity_matrix.npy"), self.matrix.T
+        )
+        self._rows = []
+
+
+def run_event_driven(cfg: LensConfig):
+    """Full --event_driven mode."""
+    checker.check_args(cfg)
+    logger, output_folder = model_logger(cfg.output_base)
+    params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
+    qparams = discretize(params, STREAM_THRESHOLDS, cfg.min_v_mem)
+
+    frames, source_desc = frame_source(cfg)
+    logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
+
+    rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
+    matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
+    power = PowerMonitor()
+    spike_log: list = []
+    # Integration granularity: one step per ms of the bin (chip-like), capped.
+    steps = int(min(max(cfg.timebin, 1), 1000))
+
+    fan_out_feat = int(np.count_nonzero(np.asarray(qparams.w_feat)) / max(cfg.input, 1))
+    fan_out_out = int(np.count_nonzero(np.asarray(qparams.w_out)) / max(cfg.feature, 1))
+
+    for i, frame in enumerate(frames):
+        t_bin = time.perf_counter()
+        down = frame[rows][:, cols].astype(np.int32).reshape(1, -1)
+        counts = np.asarray(stream_forward_counts(qparams, jnp.asarray(down), steps))[0]
+        n_events = float(frame.sum())
+        n_synops = n_events * fan_out_feat + float(counts.sum()) * fan_out_out
+        power.record_bin(n_events, n_synops, time.perf_counter() - t_bin)
+
+        logger.info(
+            f"Collected {int(counts.sum())} output spikes at time {time.time()}"
+        )  # run_speck.py:167 cadence log
+        spike_log.append(counts)
+        np.save(
+            os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log)
+        )  # run_speck.py:171-172
+        if cfg.save_input:
+            ev_dir = os.path.join(output_folder, "events")
+            os.makedirs(ev_dir, exist_ok=True)
+            np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
+        matcher.push(counts)
+
+    power.save(os.path.join(output_folder, "power_data.npy"))
+    logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")
+    logger.info("")
+    logger.info("Successfully completed inferencing using LENS")
+    return matcher

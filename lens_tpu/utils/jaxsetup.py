@@ -26,3 +26,23 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _DONE = True
+
+
+def force_cpu(min_devices: int = 1) -> None:
+    """Force the CPU backend (virtual multi-device via XLA_FLAGS).
+
+    The axon sitecustomize appends its TPU backend to jax_platforms
+    unconditionally, so the JAX_PLATFORMS env var alone cannot select CPU —
+    the config must be overridden before first backend use.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags and min_devices > 1:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={min_devices}"
+        ).strip()
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized; caller must set env before import

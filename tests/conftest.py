@@ -9,8 +9,10 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-from lens_tpu.utils.jaxsetup import setup_jax  # noqa: E402
+from lens_tpu.utils.jaxsetup import force_cpu, setup_jax  # noqa: E402
 
+# The axon sitecustomize ignores JAX_PLATFORMS, so force CPU via config too.
+force_cpu(min_devices=8)
 setup_jax()
 
 import pytest  # noqa: E402

@@ -1,0 +1,82 @@
+"""Pallas fused kernel vs the XLA scan oracle (interpret mode on CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lens_tpu.core.network import (
+    SpikeThresholds,
+    forward_counts_stepwise,
+    params_from_numpy,
+)
+from lens_tpu.ops.fused_forward import forward_counts_pallas
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (100, 200)).astype(np.float32),
+        rng.normal(0, 0.3, (200, 100)).astype(np.float32),
+        np.zeros(200, np.float32),
+        np.zeros(100, np.float32),
+    )
+    intens = rng.random((30, 100)).astype(np.float32)
+    u = rng.random((25, 100)).astype(np.float32)
+    return params, intens, u
+
+
+def _interpret_needed():
+    return jax.default_backend() == "cpu"
+
+
+def test_pallas_matches_scan(setup):
+    params, intens, u = setup
+    got = np.asarray(
+        forward_counts_pallas(params, intens, u, interpret=_interpret_needed())
+    )
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_threshold_overrides(setup):
+    params, intens, u = setup
+    thr = SpikeThresholds(1.0, 3.0, 2.0)
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, spike_thresholds=thr, interpret=_interpret_needed()
+        )
+    )
+    expected = np.asarray(
+        forward_counts_stepwise(params, intens, u, spike_thresholds=thr)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_no_min_v_mem(setup):
+    params, intens, u = setup
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, min_v_mem=None, interpret=_interpret_needed()
+        )
+    )
+    expected = np.asarray(forward_counts_stepwise(params, intens, u, min_v_mem=None))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_padding_isolation(setup):
+    """Padded lanes must never leak spikes: oddly-shaped dims."""
+    rng = np.random.default_rng(1)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (49, 63)).astype(np.float32),
+        rng.normal(0, 0.3, (63, 41)).astype(np.float32),
+        np.zeros(63, np.float32),
+        np.zeros(41, np.float32),
+    )
+    intens = rng.random((7, 49)).astype(np.float32)
+    u = rng.random((15, 49)).astype(np.float32)
+    got = np.asarray(
+        forward_counts_pallas(params, intens, u, interpret=_interpret_needed())
+    )
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(got, expected)

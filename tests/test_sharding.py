@@ -1,0 +1,94 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §2:
+DP over queries, TP over the place/feature output axes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lens_tpu.core.network import forward_counts, params_from_numpy
+from lens_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_output_axis,
+    shard_queries,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 16)).astype(np.float32),
+        np.zeros(32, np.float32),
+        np.zeros(16, np.float32),
+    )
+    intens = rng.random((32, 16)).astype(np.float32)
+    u = rng.random((10, 16)).astype(np.float32)
+    return params, intens, u
+
+
+def test_dp_sharded_forward_matches_single(mesh, setup):
+    params, intens, u = setup
+    expected = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    q_sharded = shard_queries(mesh, jnp.asarray(intens))
+    p_repl = replicate(mesh, params)
+    got = forward_counts(p_repl, q_sharded, replicate(mesh, jnp.asarray(u)))
+    assert "data" in str(got.sharding) or got.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
+def test_tp_sharded_output_axis(mesh, setup):
+    params, intens, u = setup
+    expected = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    # Shard the place axis of w_out (and its threshold) across 'model'.
+    p_tp = params._replace(
+        w_feat=replicate(mesh, params.w_feat),
+        w_out=shard_output_axis(mesh, params.w_out, axis=1),
+        thr_feat=replicate(mesh, params.thr_feat),
+        thr_out=shard_output_axis(mesh, params.thr_out, axis=0),
+    )
+    got = forward_counts(
+        p_tp, replicate(mesh, jnp.asarray(intens)), replicate(mesh, jnp.asarray(u))
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
+def test_dp_times_tp_mesh(setup):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params, intens, u = setup
+    mesh = make_mesh(8, data=4)  # 4-way DP x 2-way TP
+    expected = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    q = jax.device_put(jnp.asarray(intens), NamedSharding(mesh, P("data")))
+    p = params._replace(
+        w_feat=jax.device_put(params.w_feat, NamedSharding(mesh, P())),
+        w_out=jax.device_put(params.w_out, NamedSharding(mesh, P(None, "model"))),
+        thr_feat=jax.device_put(params.thr_feat, NamedSharding(mesh, P())),
+        thr_out=jax.device_put(params.thr_out, NamedSharding(mesh, P("model"))),
+    )
+    got = forward_counts(p, q, jax.device_put(jnp.asarray(u), NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
+def test_pad_to_multiple():
+    a = np.ones((10, 3))
+    b = pad_to_multiple(a, 0, 8)
+    assert b.shape == (16, 3)
+    np.testing.assert_array_equal(b[10:], 0)
+
+
+def test_graft_dryrun_runs():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
