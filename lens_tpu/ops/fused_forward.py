@@ -103,7 +103,8 @@ def forward_counts_pallas(
     n_in_p = _round_up(n_in, 128)
     n_feat_p = _round_up(n_feat, 128)
     n_out_p = _round_up(n_out, 128)
-    tile_q = min(tile_q, _round_up(q, 8))
+    # Bucket the query count to whole tiles: one compiled kernel per grid
+    # size instead of one per dataset size (remote TPU compiles are minutes).
     q_p = _round_up(q, tile_q)
 
     intens_p = jnp.zeros((q_p, n_in_p), jnp.float32)
@@ -149,14 +150,26 @@ def pallas_available() -> bool:
 
 
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
-                 min_v_mem=-1.0):
-    """Route to the Pallas kernel on TPU, the XLA scan elsewhere."""
+                 min_v_mem=-1.0, q_bucket: int = 1024):
+    """Route to the Pallas kernel on TPU, the XLA scan elsewhere.
+
+    The query axis is host-padded up to a multiple of `q_bucket` so every
+    dataset size reuses the same compiled executable (remote TPU compiles
+    cost minutes; padded rows are all-zero intensities, which never spike).
+    """
     from lens_tpu.core.network import forward_counts
 
-    if pallas_available() and spike_thresholds.inp == 1.0:
-        return forward_counts_pallas(
+    if not (pallas_available() and spike_thresholds.inp == 1.0):
+        return forward_counts(
             params, intensities, u_thresh, spike_thresholds, min_v_mem
         )
-    return forward_counts(
-        params, intensities, u_thresh, spike_thresholds, min_v_mem
+    q = intensities.shape[0]
+    q_p = _round_up(q, q_bucket)
+    if q_p != q:
+        intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
+            intensities
+        )
+    out = forward_counts_pallas(
+        params, intensities, u_thresh, spike_thresholds, min_v_mem, tile_q=q_bucket
     )
+    return out[:q]

@@ -70,14 +70,10 @@ def compute_similarity(
         return np.asarray(
             forward_counts_quantized(qp, intensities, u_thresh), np.float64
         )
+    from lens_tpu.ops.fused_forward import best_forward
+
     return np.asarray(
-        forward_counts(
-            params,
-            intensities,
-            u_thresh,
-            spike_thresholds=SpikeThresholds(),
-            min_v_mem=cfg.min_v_mem,
-        ),
+        best_forward(params, intensities, u_thresh, min_v_mem=cfg.min_v_mem),
         np.float64,
     )
 

@@ -1,0 +1,86 @@
+"""Offline re-analysis of saved similarity matrices.
+
+A working replacement for the reference's broken scratch script
+lens/src/match.py (it references undefined globals — SURVEY.md C17):
+load a saved similarity_matrix.npy (or the distance matrix from an inference
+run), recompute sequence matching / Recall@N against a GT file, and emit the
+standard artifacts.
+
+    python -m lens_tpu.tools.analyze --matrix out/similarity_matrix.npy \
+        --gt lens/dataset/example/davis128/example-reference_example-query_GT.npy \
+        --sequence_length 2 --gt_tolerance 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from lens_tpu.metrics.gt import make_gt_tolerant
+from lens_tpu.metrics.vpr import create_pr, recall_at_100_precision, recall_at_k
+from lens_tpu.ops.seqmatch import sequence_conv
+from lens_tpu.utils.table import ascii_table
+
+RECALL_NS = [1, 5, 10, 15, 20, 25]
+
+
+def analyze(
+    matrix: np.ndarray,
+    GT: np.ndarray,
+    sequence_length: int = 0,
+    gt_tolerance: int = 0,
+    apply_sequence: bool = False,
+) -> dict:
+    """Recall@N + PR + R@100P for a similarity matrix.
+
+    `apply_sequence` reruns the offline sequence conv (for raw (Q, R) count
+    matrices); saved online matrices are already sequence-matched.
+    """
+    S = np.asarray(matrix, np.float64)
+    if apply_sequence and sequence_length:
+        S = np.asarray(sequence_conv(S, sequence_length))
+        GT = make_gt_tolerant(GT, sequence_length, gt_tolerance)
+    elif gt_tolerance:
+        GT = make_gt_tolerant(GT, 0, gt_tolerance)
+    recalls = {n: round(recall_at_k(S, GT, K=n), 4) for n in RECALL_NS}
+    P, R, _ = create_pr(S, GT, matching="single", n_thresh=100)
+    return {
+        "recall_at_n": recalls,
+        "precision": P,
+        "recall": R,
+        "recall_at_100_precision": recall_at_100_precision(S, GT, matching="single"),
+        "auc": float(np.trapezoid(list(recalls.values()), RECALL_NS)),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Re-analyze a saved similarity matrix")
+    p.add_argument("--matrix", required=True)
+    p.add_argument("--gt", required=True)
+    p.add_argument("--sequence_length", type=int, default=0)
+    p.add_argument("--gt_tolerance", type=int, default=0)
+    p.add_argument("--apply_sequence", action="store_true")
+    p.add_argument("--out", default="", help="write results JSON here")
+    args = p.parse_args(argv)
+
+    S = np.load(args.matrix)
+    GT = np.load(args.gt)
+    res = analyze(S, GT, args.sequence_length, args.gt_tolerance, args.apply_sequence)
+    print(
+        ascii_table(
+            ["N", *map(str, RECALL_NS)],
+            [["Recall", *[res["recall_at_n"][n] for n in RECALL_NS]]],
+        )
+    )
+    print(f"AUC={res['auc']:.3f}  R@100P={res['recall_at_100_precision']:.3f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

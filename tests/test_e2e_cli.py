@@ -1,0 +1,152 @@
+"""End-to-end mode tests on a tiny synthetic dataset: train -> infer ->
+artifacts, the quantized sim, and the streaming mode — the whole CLI surface
+minus hardware, mirroring the reference's bundled-dataset smoke test role
+(SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lens_tpu.config import LensConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """8 reference + 8 query places, 16x16 ROI, distinctive blobs."""
+    root = tmp_path_factory.mktemp("tiny")
+    data_dir = root / "dataset"
+    base = data_dir / "tinyset" / "cam"
+    rng = np.random.default_rng(0)
+    n, roi = 8, 16
+    frames = (rng.random((n, roi, roi)) * 80).astype(np.uint8)
+    for i in range(n):
+        frames[i, (i * 2) % roi : (i * 2) % roi + 3, :] = 220  # place signature
+
+    for name, jitter in (("ref-trav", 0), ("qry-trav", 3)):
+        d = base / name
+        d.mkdir(parents=True)
+        rows = ["Image_name,index"]
+        for i in range(n):
+            img = np.clip(frames[i].astype(int) + jitter, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"img_{i:03d}.png")
+            rows.append(f"img_{i:03d}.png,{i}")
+        for csv_name in (name,):
+            (data_dir / f"{csv_name}.csv").write_text("\n".join(rows) + "\n")
+    np.save(base / "ref-trav_qry-trav_GT.npy", np.eye(n, dtype=int))
+
+    return LensConfig(
+        dataset="tinyset",
+        camera="cam",
+        reference="ref-trav",
+        query="qry-trav",
+        data_dir=str(data_dir) + os.sep,
+        reference_places=n,
+        query_places=n,
+        sequence_length=2,
+        GT_tolerance=1,
+        timebin=20,
+        dims=4,
+        roi_dim=16,
+        epoch_feat=4,
+        epoch_out=4,
+        matching=True,
+        models_dir=str(root / "models"),
+        output_base=str(root / "output"),
+        raster_mode="jax",
+    )
+
+
+def test_train_then_infer(tiny_dataset):
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+    from lens_tpu.train_model import run_training
+
+    cfg = replace(tiny_dataset, train_model=True)
+    path = run_training(cfg)
+    assert os.path.exists(path)
+    # Sidecar + legacy .pth both written.
+    assert os.path.exists(path.replace(".npz", ".config.json"))
+
+    cfg = replace(tiny_dataset, train_model=False, sim_mat=True, PR_curve=True)
+    res = run_inference(cfg)
+    assert len(res.recall_at_n) == 6
+    assert all(0.0 <= r <= 1.0 for r in res.recall_at_n)
+    out = res.output_folder
+    for artifact in ("distance_matrix_lens.pdf", "GTtol.pdf", "lens.log"):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+
+
+def test_simulated_speck_mode(tiny_dataset):
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    cfg = replace(tiny_dataset, simulated_speck=True)
+    res = run_inference(cfg)
+    assert res.counts is not None
+    # Integer chip counts are exactly reproducible.
+    res2 = run_inference(cfg)
+    np.testing.assert_array_equal(res.counts, res2.counts)
+
+
+def test_event_driven_mode(tiny_dataset):
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import run_event_driven
+
+    cfg = replace(tiny_dataset, event_driven=True, save_input=True)
+    matcher = run_event_driven(cfg)
+    # 8 bins = 2 averaged rows; no full 4-row block yet -> no matrix, but the
+    # spike log must exist.
+    out_dirs = sorted(os.listdir(cfg.output_base))
+    newest = os.path.join(cfg.output_base, out_dirs[-1])
+    assert os.path.exists(os.path.join(newest, "spike_data.npy"))
+    assert os.path.exists(os.path.join(newest, "power_data.npy"))
+    assert os.path.exists(os.path.join(newest, "events"))
+    assert matcher is not None
+
+
+def test_sad_baseline(tiny_dataset, tmp_path):
+    from lens_tpu.metrics.gt import make_gt_tolerant
+    from lens_tpu.sad import run_sad
+
+    base = os.path.join(tiny_dataset.data_dir, "tinyset", "cam")
+    GT = np.load(os.path.join(base, "ref-trav_qry-trav_GT.npy"))
+    GTtol = make_gt_tolerant(GT, 2, 1)
+    pr, recalls = run_sad(
+        os.path.join(base, "ref-trav"),
+        os.path.join(base, "qry-trav"),
+        GTtol,
+        str(tmp_path),
+        sequence_length=2,
+    )
+    assert len(recalls) == 6
+    # SAD on near-identical traverses must be a strong matcher.
+    assert recalls[-1] >= 0.5
+    assert os.path.exists(tmp_path / "distance_matrix_SAD.pdf")
+
+
+def test_collect_data_mode(tiny_dataset, tmp_path):
+    from dataclasses import replace
+
+    from lens_tpu.runtime.collect import run_collector
+
+    rng = np.random.default_rng(0)
+    n_ev = 2000
+    t = np.sort(rng.uniform(0, 0.2, n_ev))
+    x = rng.integers(23, 23 + 16, n_ev)
+    y = rng.integers(0, 16, n_ev)
+    ev = np.stack([t, x, y, np.ones(n_ev)], axis=1)
+    ev_path = tmp_path / "events.npy"
+    np.save(ev_path, ev)
+
+    cfg = replace(
+        tiny_dataset, collect_data=True, event_file=str(ev_path), data_name="newdata"
+    )
+    folder = run_collector(cfg)
+    pngs = [f for f in os.listdir(folder) if f.endswith(".png")]
+    assert len(pngs) >= 2
+    assert os.path.exists(os.path.join(cfg.data_dir, "newdata.csv"))
