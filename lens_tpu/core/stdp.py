@@ -209,10 +209,12 @@ def train_layer_scan(
     idxs: jnp.ndarray,  # (S,) int forced indices
     total_steps: int,
     prev_fire_rate: Optional[jnp.ndarray] = None,
+    start_step: int | jnp.ndarray = 0,
 ) -> LayerState:
-    """Train one layer over the full shuffled stream in a single device scan
+    """Train one layer over an ordered stream in a single device scan
     (replaces the reference's epochs x DataLoader Python loop,
-    train_model.py:155-182)."""
+    train_model.py:155-182).  `start_step` offsets the annealing clock so a
+    full run can be split into checkpointable chunks."""
     ip0, stdp0 = hyper.ip_rate, hyper.stdp_rate
 
     def body(carry, inp):
@@ -222,5 +224,7 @@ def train_layer_scan(
         st = stdp_update(st, hyper, sample, idx, eta_ip, eta_stdp, prev_fire_rate)
         return (st, step + 1), None
 
-    (state, _), _ = jax.lax.scan(body, (state, jnp.int32(0)), (samples, idxs))
+    (state, _), _ = jax.lax.scan(
+        body, (state, jnp.asarray(start_step, jnp.int32)), (samples, idxs)
+    )
     return state

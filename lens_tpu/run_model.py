@@ -94,9 +94,19 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
     t0 = time.perf_counter()
     counts = compute_similarity(cfg, params, intensities, u_thresh)
     compile_and_run = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    counts = compute_similarity(cfg, params, intensities, u_thresh)
-    steady = time.perf_counter() - t0
+    if cfg.profile:
+        # TPU-equivalent of the reference's hardware power profiling slot
+        # (SURVEY.md §5): a JAX profiler trace viewable in TensorBoard/xprof.
+        import jax
+
+        with jax.profiler.trace(os.path.join(output_folder, "jax_trace")):
+            t0 = time.perf_counter()
+            counts = compute_similarity(cfg, params, intensities, u_thresh)
+            steady = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        counts = compute_similarity(cfg, params, intensities, u_thresh)
+        steady = time.perf_counter() - t0
     n_frames = intensities.shape[0]
     res.frames_per_sec = n_frames / steady if steady > 0 else float("inf")
     res.p50_latency_ms = steady / n_frames * 1000.0

@@ -75,8 +75,44 @@ def init_training_layers(
     return feat, out
 
 
-def train(cfg: LensConfig, logger=None) -> LensParams:
-    """Run the full two-layer training and return inference params."""
+def _layer_ckpt_path(models_dir: str, model_name: str, layer: str) -> str:
+    stem = os.path.splitext(model_name)[0]
+    return os.path.join(models_dir, f"{stem}.{layer}.trainstate.npz")
+
+
+def save_layer_state(path: str, state, epoch: int) -> None:
+    """Mid-training checkpoint of a LayerState (the reference can only save
+    after full training — train_model.py:207-211; resume is new here)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        epoch=np.asarray(epoch),
+        **{k: np.asarray(v) for k, v in state._asdict().items()},
+    )
+
+
+def load_layer_state(path: str):
+    """(LayerState, next_epoch) or None if absent."""
+    from lens_tpu.core.stdp import LayerState
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        epoch = int(z["epoch"])
+        state = LayerState(
+            **{k: jnp.asarray(z[k]) for k in LayerState._fields}
+        )
+    return state, epoch
+
+
+def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
+          resume: bool = False) -> LensParams:
+    """Run the full two-layer training and return inference params.
+
+    The per-layer scan is chunked by epoch blocks of `checkpoint_every`
+    epochs; after each block the layer's training state is checkpointed, and
+    `resume=True` continues an interrupted run from the last block.
+    """
     log = logger.info if logger else print
 
     reference_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference)
@@ -95,35 +131,54 @@ def train(cfg: LensConfig, logger=None) -> LensParams:
         cfg, k_init
     )
 
-    # --- feature layer ---------------------------------------------------
-    log("Training layer: feature_layer")
-    order = make_sample_stream(k_feat_shuf, n, cfg.epoch_feat)
-    total = int(cfg.reference_places * cfg.epoch_feat)  # train_model.py:144
-    feat_state = train_layer_scan(
-        feat_state,
-        feat_hyper,
-        X[order],
-        idx_all[order],
-        total_steps=total,
-    )
-    jax.block_until_ready(feat_state.w)
+    def train_one_layer(name, state, hyper, inputs, shuffle_key, epochs,
+                        prev_fire_rate=None):
+        log(f"Training layer: {name}")
+        total = int(cfg.reference_places * epochs)  # train_model.py:144
+        order = make_sample_stream(shuffle_key, n, epochs)
+        ckpt = _layer_ckpt_path(cfg.models_dir, cfg.model_name(), name)
+        start_epoch = 0
+        if resume:
+            loaded = load_layer_state(ckpt)
+            if loaded is not None:
+                state, start_epoch = loaded
+                log(f"  resumed {name} at epoch {start_epoch}")
+        block = max(1, checkpoint_every)
+        for e0 in range(start_epoch, epochs, block):
+            e1 = min(e0 + block, epochs)
+            sl = slice(e0 * n, e1 * n)
+            state = train_layer_scan(
+                state,
+                hyper,
+                inputs[order[sl]],
+                idx_all[order[sl]],
+                total_steps=total,
+                prev_fire_rate=prev_fire_rate,
+                start_step=e0 * n,
+            )
+            jax.block_until_ready(state.w)
+            save_layer_state(ckpt, state, e1)
+            log(f"  {name}: epoch {e1}/{epochs}")
+        if os.path.exists(ckpt):
+            os.remove(ckpt)  # run complete; drop the resume point
+        return state
 
-    # --- output layer ----------------------------------------------------
-    log("Training layer: output_layer")
+    feat_state = train_one_layer(
+        "feature_layer", feat_state, feat_hyper, X, k_feat_shuf, cfg.epoch_feat
+    )
+
     # Frozen feature responses for every sample, one batched GEMM
     # (replaces the per-step prev-layer pass of train_model.py:163-168).
     feat_spikes = clamp_spikes(X @ feat_state.w, feat_state.thr)
-    order = make_sample_stream(k_out_shuf, n, cfg.epoch_out)
-    total = int(cfg.reference_places * cfg.epoch_out)
-    out_state = train_layer_scan(
+    out_state = train_one_layer(
+        "output_layer",
         out_state,
         out_hyper,
-        feat_spikes[order],
-        idx_all[order],
-        total_steps=total,
+        feat_spikes,
+        k_out_shuf,
+        cfg.epoch_out,
         prev_fire_rate=feat_state.fire_rate,
     )
-    jax.block_until_ready(out_state.w)
 
     return LensParams(
         w_feat=feat_state.w,
