@@ -35,10 +35,12 @@ def center_pixel_indices(roi_dim: int, dims: int) -> Tuple[np.ndarray, np.ndarra
 
     The reference builds a Conv2d(k=roi//dims, stride=k) whose kernel is 1 at
     (k//2-1, k//2-1) and 0 elsewhere (run_model.py:129-137, dataset.py:58-62),
-    i.e. output[i, j] = input[k*i + c, k*j + c] with c = k//2 - 1.
+    i.e. output[i, j] = input[k*i + c, k*j + c] with c = k//2 - 1.  For k=1
+    (e.g. the 7x7 brisevent frames) the torch index -1 wraps inside the 1x1
+    kernel to 0 — reproduced here with the modulo.
     """
     k = roi_dim // dims
-    c = (k // 2) - 1
+    c = ((k // 2) - 1) % k
     idx = c + k * np.arange(dims)
     return idx, idx
 

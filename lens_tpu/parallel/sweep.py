@@ -178,6 +178,7 @@ def run_sweep(
             log("wandb not installed; results saved locally only")
 
     if output_folder:
+        os.makedirs(output_folder, exist_ok=True)
         with open(os.path.join(output_folder, "sweep_results.json"), "w") as f:
             json.dump(
                 {

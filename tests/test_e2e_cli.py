@@ -13,49 +13,9 @@ from lens_tpu.config import LensConfig
 
 
 @pytest.fixture(scope="module")
-def tiny_dataset(tmp_path_factory):
-    """8 reference + 8 query places, 16x16 ROI, distinctive blobs."""
-    root = tmp_path_factory.mktemp("tiny")
-    data_dir = root / "dataset"
-    base = data_dir / "tinyset" / "cam"
-    rng = np.random.default_rng(0)
-    n, roi = 8, 16
-    frames = (rng.random((n, roi, roi)) * 80).astype(np.uint8)
-    for i in range(n):
-        frames[i, (i * 2) % roi : (i * 2) % roi + 3, :] = 220  # place signature
-
-    for name, jitter in (("ref-trav", 0), ("qry-trav", 3)):
-        d = base / name
-        d.mkdir(parents=True)
-        rows = ["Image_name,index"]
-        for i in range(n):
-            img = np.clip(frames[i].astype(int) + jitter, 0, 255).astype(np.uint8)
-            Image.fromarray(img).save(d / f"img_{i:03d}.png")
-            rows.append(f"img_{i:03d}.png,{i}")
-        for csv_name in (name,):
-            (data_dir / f"{csv_name}.csv").write_text("\n".join(rows) + "\n")
-    np.save(base / "ref-trav_qry-trav_GT.npy", np.eye(n, dtype=int))
-
-    return LensConfig(
-        dataset="tinyset",
-        camera="cam",
-        reference="ref-trav",
-        query="qry-trav",
-        data_dir=str(data_dir) + os.sep,
-        reference_places=n,
-        query_places=n,
-        sequence_length=2,
-        GT_tolerance=1,
-        timebin=20,
-        dims=4,
-        roi_dim=16,
-        epoch_feat=4,
-        epoch_out=4,
-        matching=True,
-        models_dir=str(root / "models"),
-        output_base=str(root / "output"),
-        raster_mode="jax",
-    )
+def tiny_dataset(tiny_dataset_cfg):
+    """Alias of the session tiny-dataset config (built in conftest.py)."""
+    return tiny_dataset_cfg
 
 
 def test_train_then_infer(tiny_dataset):

@@ -1,0 +1,76 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lens_tpu.core.network import (
+    SpikeThresholds,
+    forward_counts,
+    forward_counts_from_frames,
+    forward_counts_stepwise,
+    params_from_numpy,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    rng = np.random.default_rng(0)
+    return params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 8)).astype(np.float32),
+        np.zeros(32, np.float32),
+        np.zeros(8, np.float32),
+    )
+
+
+def test_fast_matches_stepwise(params):
+    rng = np.random.default_rng(1)
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((30, 16)).astype(np.float32)
+    fast = np.asarray(forward_counts(params, intens, u))
+    step = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(fast, step)
+
+
+def test_zero_intensity_zero_counts(params):
+    intens = np.zeros((3, 16), np.float32)
+    u = np.random.default_rng(2).random((10, 16)).astype(np.float32)
+    counts = np.asarray(forward_counts(params, intens, u))
+    assert counts.sum() == 0
+
+
+def test_nonunit_input_threshold_falls_back(params):
+    rng = np.random.default_rng(3)
+    intens = rng.random((4, 16)).astype(np.float32)
+    u = rng.random((12, 16)).astype(np.float32)
+    thr = SpikeThresholds(inp=2.0, feat=1.0, out=1.0)
+    got = np.asarray(forward_counts(params, intens, u, spike_thresholds=thr))
+    exp = np.asarray(
+        forward_counts_stepwise(params, intens, u, spike_thresholds=thr)
+    )
+    np.testing.assert_array_equal(got, exp)
+    # threshold-2 input IAF fires every second input spike
+    ones = np.asarray(
+        forward_counts(params, np.ones((1, 16), np.float32), u, spike_thresholds=thr)
+    )
+    base = np.asarray(forward_counts(params, np.ones((1, 16), np.float32), u))
+    assert ones.sum() <= base.sum()
+
+
+def test_from_frames_matches_intensities(params):
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (6, 64), np.uint8)  # 8x8 roi, dims 4 -> k 2
+    from lens_tpu.data.dataset import center_pixel_flat_indices
+
+    sel = tuple(int(i) for i in center_pixel_flat_indices(8, 4))
+    u = rng.random((9, 16)).astype(np.float32)
+    got = np.asarray(forward_counts_from_frames(params, jnp.asarray(frames), u, sel))
+    intens = frames[:, list(sel)].astype(np.float32) / 255.0
+    exp = np.asarray(forward_counts(params, intens, u))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_center_pixel_k1_wraps_like_torch():
+    from lens_tpu.data.dataset import center_pixel_indices
+
+    rows, cols = center_pixel_indices(7, 7)  # k=1: torch kernel[-1] wraps to 0
+    np.testing.assert_array_equal(rows, np.arange(7))
