@@ -76,62 +76,6 @@ def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
     return kernel
 
 
-def _kernel_blocked(
-    thr_feat: float, thr_out: float, min_v: Optional[float], block_t: int
-):
-    """Time-blocked variant: the raster compare and the first GEMM batch
-    `block_t` timesteps into one (block_t*Q, n_in) MXU call; only the IAF
-    recurrences and the second GEMM stay per-step.  Exact: GEMM 1 has no
-    state dependence."""
-
-    def kernel(intens_ref, u_ref, w1_ref, w2_ref, out_ref):
-        t_steps = u_ref.shape[0]
-        q = intens_ref.shape[0]
-        n_in = intens_ref.shape[1]
-        n_feat = w1_ref.shape[1]
-        n_out = w2_ref.shape[1]
-        intens = intens_ref[:]
-        w1 = w1_ref[:]
-        w2 = w2_ref[:]
-        n_blocks = t_steps // block_t  # caller pads T to a block multiple
-
-        def block_body(b, carry):
-            v2, v3, acc = carry
-            u_blk = u_ref[pl.ds(b * block_t, block_t), :]  # (K, n_in)
-            # Raster for K steps at once: (K, Q, n_in) -> (K*Q, n_in).
-            x = (u_blk[:, None, :] < intens[None, :, :]).astype(jnp.float32)
-            h_blk = jnp.dot(
-                x.reshape(block_t * q, n_in), w1, preferred_element_type=jnp.float32
-            ).reshape(block_t, q, n_feat)
-
-            def step(k, inner):
-                v2, v3, acc = inner
-                v2 = v2 + h_blk[k]
-                s2 = jnp.maximum(jnp.floor(v2 / thr_feat), 0.0)
-                v2 = v2 - s2 * thr_feat
-                if min_v is not None:
-                    v2 = jnp.maximum(v2, min_v)
-                h2 = jnp.dot(s2, w2, preferred_element_type=jnp.float32)
-                v3 = v3 + h2
-                s3 = jnp.maximum(jnp.floor(v3 / thr_out), 0.0)
-                v3 = v3 - s3 * thr_out
-                if min_v is not None:
-                    v3 = jnp.maximum(v3, min_v)
-                return v2, v3, acc + s3
-
-            return jax.lax.fori_loop(0, block_t, step, (v2, v3, acc))
-
-        init = (
-            jnp.zeros((q, n_feat), jnp.float32),
-            jnp.zeros((q, n_out), jnp.float32),
-            jnp.zeros((q, n_out), jnp.float32),
-        )
-        _, _, acc = jax.lax.fori_loop(0, n_blocks, block_body, init)
-        out_ref[:] = acc
-
-    return kernel
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("spike_thresholds", "min_v_mem", "tile_q", "interpret"),
@@ -193,74 +137,6 @@ def forward_counts_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * t_steps * q_p * (n_in_p * n_feat_p + n_feat_p * n_out_p),
             bytes_accessed=4 * (q_p * n_in_p + t_steps * n_in_p + q_p * n_out_p),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(intens_p, u_p, w1_p, w2_p)
-    return out[:q, :n_out]
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "spike_thresholds", "min_v_mem", "tile_q", "block_t", "interpret"
-    ),
-)
-def forward_counts_pallas_blocked(
-    params: LensParams,
-    intensities: jnp.ndarray,
-    u_thresh: jnp.ndarray,
-    spike_thresholds: SpikeThresholds = SpikeThresholds(),
-    min_v_mem: Optional[float] = -1.0,
-    tile_q: int = 512,
-    block_t: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Time-blocked fused kernel (see _kernel_blocked).  T pads to a block
-    multiple with u=1.0 rows — zero-input IAF steps emit nothing because the
-    membrane is always strictly below threshold after a subtract-reset."""
-    assert spike_thresholds.inp == 1.0, "input IAF elision needs threshold 1"
-    q, n_in = intensities.shape
-    t_steps = u_thresh.shape[0]
-    n_feat = params.w_feat.shape[1]
-    n_out = params.w_out.shape[1]
-
-    n_in_p = _round_up(n_in, 128)
-    n_feat_p = _round_up(n_feat, 128)
-    n_out_p = _round_up(n_out, 128)
-    q_p = _round_up(q, tile_q)
-    t_p = _round_up(t_steps, block_t)
-
-    intens_p = jnp.zeros((q_p, n_in_p), jnp.float32)
-    intens_p = intens_p.at[:q, :n_in].set(intensities.astype(jnp.float32))
-    u_p = jnp.ones((t_p, n_in_p), jnp.float32)
-    u_p = u_p.at[:t_steps, :n_in].set(u_thresh.astype(jnp.float32))
-    w1_p = jnp.zeros((n_in_p, n_feat_p), jnp.float32)
-    w1_p = w1_p.at[:n_in, :n_feat].set(params.w_feat.astype(jnp.float32))
-    w2_p = jnp.zeros((n_feat_p, n_out_p), jnp.float32)
-    w2_p = w2_p.at[:n_feat, :n_out].set(params.w_out.astype(jnp.float32))
-
-    out = pl.pallas_call(
-        _kernel_blocked(
-            float(spike_thresholds.feat),
-            float(spike_thresholds.out),
-            None if min_v_mem is None else float(min_v_mem),
-            block_t,
-        ),
-        out_shape=jax.ShapeDtypeStruct((q_p, n_out_p), jnp.float32),
-        grid=(q_p // tile_q,),
-        in_specs=[
-            pl.BlockSpec((tile_q, n_in_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_p, n_in_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_in_p, n_feat_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_feat_p, n_out_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_q, n_out_p), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * t_p * q_p * (n_in_p * n_feat_p + n_feat_p * n_out_p),
-            bytes_accessed=4 * (q_p * n_in_p + t_p * n_in_p + q_p * n_out_p),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -64,19 +64,6 @@ def test_pallas_no_min_v_mem(setup):
     np.testing.assert_array_equal(got, expected)
 
 
-def test_blocked_kernel_matches_scan(setup):
-    params, intens, u = setup
-    from lens_tpu.ops.fused_forward import forward_counts_pallas_blocked
-
-    got = np.asarray(
-        forward_counts_pallas_blocked(
-            params, intens, u, tile_q=64, block_t=8, interpret=_interpret_needed()
-        )
-    )
-    expected = np.asarray(forward_counts_stepwise(params, intens, u))
-    np.testing.assert_array_equal(got, expected)
-
-
 def test_pallas_padding_isolation(setup):
     """Padded lanes must never leak spikes: oddly-shaped dims."""
     rng = np.random.default_rng(1)
