@@ -61,17 +61,25 @@ def main() -> None:
     sel = center_pixel_flat_indices(80, 10)
     u = jnp.asarray(make_thresholds("torch-parity", TIMEBIN, 6400)[:, sel])
 
-    def run():
-        return best_forward(params, intens, u)
-
-    counts = jax.block_until_ready(run())  # compile + warm
-    assert counts.shape == (BENCH_QUERIES, 100)
+    # Measurement discipline (learned on the axon relay): (a) one DISTINCT
+    # pre-staged device batch per iteration — identical buffers can be served
+    # from an execution cache; (b) every output is materialized on the host —
+    # block_until_ready does not reliably synchronize through the remote
+    # relay, so host materialization is the only airtight fence.  Inputs are
+    # staged before the clock; result d2h is included (it is part of the
+    # user-visible pipeline).
+    batches = [
+        jnp.asarray(np.roll(intens_np, i + 1, axis=0)) for i in range(ITERS)
+    ]
+    warm = np.asarray(best_forward(params, intens, u))  # compile + warm
+    assert warm.shape == (BENCH_QUERIES, 100)
+    _ = [np.asarray(best_forward(params, b, u)) for b in batches[:2]]  # settle
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        counts = run()
-    jax.block_until_ready(counts)
+    outs = [best_forward(params, b, u) for b in batches]
+    outs = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
+    assert all(o.shape == (BENCH_QUERIES, 100) for o in outs)
 
     frames_per_sec = BENCH_QUERIES * ITERS / dt
     print(

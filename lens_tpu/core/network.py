@@ -161,6 +161,59 @@ def forward_counts(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("min_v_mem", "spike_thresholds", "dtype")
+)
+def forward_counts_resumable(
+    params: LensParams,
+    intensities: jnp.ndarray,  # (Q, n_in)
+    u_chunk: jnp.ndarray,  # (T_chunk, n_in)
+    carry: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    spike_thresholds: SpikeThresholds = SpikeThresholds(),
+    min_v_mem: Optional[float] = -1.0,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Tuple]:
+    """One time-chunk of the spiking forward with explicit membrane carry.
+
+    This is the framework's sequence-axis scaling primitive (SURVEY.md §2:
+    the reference's only 'sequence' is the spike-raster time axis): an event
+    stream of unbounded length is evaluated chunk by chunk, each chunk one
+    device dispatch, with the (v1, v2, v3, counts) state threaded between
+    calls.  Equivalent to forward_counts on the concatenated chunks.
+
+    Use `init_forward_carry` for the first chunk.
+    """
+    q, n_in = intensities.shape
+    w_feat = params.w_feat.astype(dtype)
+    w_out = params.w_out.astype(dtype)
+    intens = intensities.astype(dtype)
+
+    def step(c, u_t):
+        v1, v2, v3, counts = c
+        x = (u_t[None, :] < intens).astype(dtype)
+        v1, s1 = iaf_step(v1, x, spike_thresholds.inp, min_v_mem)
+        h = jnp.dot(s1, w_feat, preferred_element_type=dtype)
+        v2, s2 = iaf_step(v2, h, spike_thresholds.feat, min_v_mem)
+        h2 = jnp.dot(s2, w_out, preferred_element_type=dtype)
+        v3, s3 = iaf_step(v3, h2, spike_thresholds.out, min_v_mem)
+        return (v1, v2, v3, counts + s3), None
+
+    carry, _ = jax.lax.scan(step, carry, u_chunk.astype(dtype))
+    return carry[3], carry
+
+
+def init_forward_carry(
+    q: int, n_in: int, n_feat: int, n_out: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fresh membrane/count state for forward_counts_resumable."""
+    return (
+        jnp.zeros((q, n_in), dtype),
+        jnp.zeros((q, n_feat), dtype),
+        jnp.zeros((q, n_out), dtype),
+        jnp.zeros((q, n_out), dtype),
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("sel_idx", "min_v_mem", "spike_thresholds", "dtype"),
 )

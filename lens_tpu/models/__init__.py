@@ -1,0 +1,3 @@
+from lens_tpu.models.lens import LensModel, QuantizedLensModel
+
+__all__ = ["LensModel", "QuantizedLensModel"]

@@ -46,6 +46,12 @@ def make_thresholds(
         try:
             return torch_parity_thresholds(time_window, n_pixels, seed)
         except ImportError:
+            import logging
+
+            logging.getLogger("LENS").warning(
+                "torch unavailable: raster parity degrades to statistical "
+                "(JAX PRNG) equivalence"
+            )
             return jax_thresholds(time_window, n_pixels, seed)
     if mode == "jax":
         return jax_thresholds(time_window, n_pixels, seed)

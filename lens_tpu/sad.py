@@ -54,8 +54,11 @@ def run_sad(
 
     save_matrix_pdf(dist_seq, os.path.join(outputdir, "distance_matrix_SAD.pdf"))
 
-    with np.errstate(divide="ignore"):
-        inv = np.where(dist_seq > 0, 1.0 / dist_seq, np.float64(np.inf))
+    # Similarity = 1/distance (sad.py:52, 62).  The reference produces inf on
+    # zero distances, which poisons the PR threshold grid; clamping to the
+    # smallest positive distance is a rank-preserving, finite equivalent.
+    floor = dist_seq[dist_seq > 0].min() if (dist_seq > 0).any() else 1.0
+    inv = 1.0 / np.maximum(dist_seq, floor)
     P, R, overlay = create_pr(inv, GT, matching="single", n_thresh=100)
     save_pr_overlay(inv, GT, overlay, outputdir, datatype="SAD")
     pr_data = {"Precision": P, "Recall": R}

@@ -109,6 +109,31 @@ def save_model(
     return npz_path
 
 
+def save_orbax(path: str, params: LensParams) -> bool:
+    """Orbax-backed checkpoint for sharded/production deployments: preserves
+    device shardings and writes atomically.  Returns False when orbax is
+    unavailable (it is an optional dependency)."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return False
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), dict(params._asdict()), force=True)
+    return True
+
+
+def load_orbax(path: str) -> Optional[LensParams]:
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    return params_from_numpy(
+        restored["w_feat"], restored["w_out"], restored["thr_feat"], restored["thr_out"]
+    )
+
+
 def parse_model_name(model_name: str) -> dict:
     """Recover architecture metadata from the filename scheme
     (reference main.py:27-38)."""

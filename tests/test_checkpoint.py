@@ -57,6 +57,14 @@ def test_save_model_prefers_npz(tmp_path, params):
     assert (tmp_path / "example-reference_LENS_IN100_FN200_DB100.config.json").exists()
 
 
+def test_orbax_roundtrip(tmp_path, params):
+    pytest.importorskip("orbax.checkpoint")
+    path = str(tmp_path / "ockpt")
+    assert checkpoint.save_orbax(path, params)
+    loaded = checkpoint.load_orbax(path)
+    np.testing.assert_array_equal(np.asarray(loaded.w_out), np.asarray(params.w_out))
+
+
 def test_parse_model_name():
     meta = checkpoint.parse_model_name("sunset2_LENS_IN49_FN63_DB641.pth")
     assert meta == {"input": 49, "feature": 63, "places": 641}

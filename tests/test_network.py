@@ -69,6 +69,20 @@ def test_from_frames_matches_intensities(params):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_resumable_chunks_equal_full_run(params):
+    from lens_tpu.core.network import forward_counts_resumable, init_forward_carry
+
+    rng = np.random.default_rng(5)
+    intens = rng.random((4, 16)).astype(np.float32)
+    u = rng.random((24, 16)).astype(np.float32)
+    full = np.asarray(forward_counts(params, intens, u))
+
+    carry = init_forward_carry(4, 16, 32, 8)
+    for chunk in np.split(u, 3):  # 3 chunks of 8 steps
+        counts, carry = forward_counts_resumable(params, intens, chunk, carry)
+    np.testing.assert_array_equal(np.asarray(counts), full)
+
+
 def test_center_pixel_k1_wraps_like_torch():
     from lens_tpu.data.dataset import center_pixel_indices
 
