@@ -12,6 +12,7 @@ Prints exactly one JSON line:
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -20,6 +21,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lens_tpu.utils.jaxsetup import setup_jax  # noqa: E402
+
+# Watchdog: the tunneled TPU's claim/compile path can wedge indefinitely
+# (see .claude/skills/verify/SKILL.md).  If the TPU run does not finish in
+# time, re-exec on the CPU backend so the driver still gets a (clearly
+# labeled) measurement instead of a hang.
+WATCHDOG_SECS = int(os.environ.get("LENS_BENCH_WATCHDOG", "900"))
+FORCE_CPU = os.environ.get("LENS_BENCH_CPU") == "1"
+
+if FORCE_CPU:
+    from lens_tpu.utils.jaxsetup import force_cpu
+
+    force_cpu()
+else:
+
+    def _watchdog(signum, frame):  # pragma: no cover - timing dependent
+        sys.stderr.write(
+            f"bench: TPU path exceeded {WATCHDOG_SECS}s (wedged relay?); "
+            "re-running on CPU backend\n"
+        )
+        os.environ["LENS_BENCH_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SECS)
 
 setup_jax()
 
@@ -81,11 +106,16 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert all(o.shape == (BENCH_QUERIES, 100) for o in outs)
 
+    signal.alarm(0)
     frames_per_sec = BENCH_QUERIES * ITERS / dt
+    backend = jax.default_backend()
+    metric = "event_frames_per_sec_per_chip"
+    if backend == "cpu":
+        metric += "_CPU_FALLBACK"  # TPU relay was unreachable; not a chip number
     print(
         json.dumps(
             {
-                "metric": "event_frames_per_sec_per_chip",
+                "metric": metric,
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
