@@ -21,7 +21,7 @@ import numpy as np
 
 from lens_tpu import checker
 from lens_tpu.config import LensConfig
-from lens_tpu.core.network import SpikeThresholds, forward_counts
+from lens_tpu.core.network import SpikeThresholds
 from lens_tpu.data.dataset import FrameDataset, center_pixel_flat_indices
 from lens_tpu.metrics.gt import make_gt_tolerant
 from lens_tpu.metrics.vpr import create_pr, recall_at_k

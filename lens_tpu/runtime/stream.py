@@ -26,7 +26,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

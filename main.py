@@ -36,6 +36,12 @@ def initialize_and_run_model(cfg):
 def main(argv=None):
     setup_jax()
     cfg = config_from_args(argv)
+    if cfg.nocuda:
+        # Reference semantics: --nocuda forces CPU (run_model.py:70-71);
+        # here it pins the JAX CPU backend instead of torch.device('cpu').
+        from lens_tpu.utils.jaxsetup import force_cpu
+
+        force_cpu()
     return initialize_and_run_model(cfg)
 
 

@@ -9,7 +9,6 @@ LensConfig schema, the trials train/evaluate as ONE vmapped device program
     python optimizer.py --n_trials 16
 """
 
-import argparse
 
 from lens_tpu.config import LensConfig, build_arg_parser
 from lens_tpu.utils.jaxsetup import setup_jax
