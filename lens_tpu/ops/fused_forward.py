@@ -37,7 +37,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _spikes(v: jnp.ndarray, thr: float) -> jnp.ndarray:
+    """Multi-spike count: floor(v/thr) clamped at 0.  (A thr==1.0
+    divide-elision specialization was tried and produced a fresh HLO whose
+    remote compile wedged; the constant divide folds anyway, so keep the
+    single proven-cached form.)"""
+    return jnp.maximum(jnp.floor(v / thr), 0.0)
+
+
 def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
+    # Note: an explicitly software-pipelined variant (compute the
+    # state-independent GEMM1 one step ahead behind a lax.cond) was measured
+    # SLOWER (220k vs 255k frames/s) — Mosaic already schedules the
+    # independent dot; the cond only adds overhead.  Keep the straight loop.
     def kernel(intens_ref, u_ref, w1_ref, w2_ref, out_ref):
         t_steps = u_ref.shape[0]
         q = intens_ref.shape[0]
@@ -53,13 +65,13 @@ def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
             x = (u_t[None, :] < intens).astype(jnp.float32)
             h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
             v2 = v2 + h
-            s2 = jnp.maximum(jnp.floor(v2 / thr_feat), 0.0)
+            s2 = _spikes(v2, thr_feat)
             v2 = v2 - s2 * thr_feat
             if min_v is not None:
                 v2 = jnp.maximum(v2, min_v)
             h2 = jnp.dot(s2, w2, preferred_element_type=jnp.float32)
             v3 = v3 + h2
-            s3 = jnp.maximum(jnp.floor(v3 / thr_out), 0.0)
+            s3 = _spikes(v3, thr_out)
             v3 = v3 - s3 * thr_out
             if min_v is not None:
                 v3 = jnp.maximum(v3, min_v)

@@ -130,6 +130,11 @@ class OnlineMatcher:
     bins their integer-mean becomes one sequence row; every SEQUENCE_ROWS rows
     it runs the 'same' diagonal convolution, takes the argmax place per
     column, appends the block to the growing similarity matrix, and resets.
+
+    Preserved reference quirk: the spike accumulator resets only after a FULL
+    block (run_speck.py:221 clears self.sum when 4 rows are collected, not per
+    row), so row j of a block is the cumulative count over the block's first
+    4*j bins divided by 4.
     """
 
     def __init__(self, n_places: int, sequence_length: int, output_folder: str, logger):
@@ -149,8 +154,7 @@ class OnlineMatcher:
         if self._bins < QUERIES_PER_SEQUENCE:
             return
         self._rows.append(self._bin_sum // QUERIES_PER_SEQUENCE)  # run_speck.py:195
-        self._bin_sum = np.zeros(self.n_places, dtype=np.int64)
-        self._bins = 0
+        self._bins = 0  # qry reset (run_speck.py:226); _bin_sum keeps growing
         if len(self._rows) < SEQUENCE_ROWS:
             return
         block = np.stack(self._rows)  # (4, n_places)
@@ -173,6 +177,7 @@ class OnlineMatcher:
             os.path.join(self.output_folder, "similarity_matrix.npy"), self.matrix.T
         )
         self._rows = []
+        self._bin_sum = np.zeros(self.n_places, dtype=np.int64)  # run_speck.py:221
 
 
 def run_event_driven(cfg: LensConfig):

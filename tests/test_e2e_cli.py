@@ -18,6 +18,21 @@ def tiny_dataset(tiny_dataset_cfg):
     return tiny_dataset_cfg
 
 
+@pytest.fixture(scope="module")
+def tiny_model(tiny_dataset):
+    """Ensure a trained checkpoint exists for modes that load one."""
+    from dataclasses import replace
+
+    from lens_tpu.train_model import run_training
+
+    path = os.path.join(
+        tiny_dataset.models_dir, tiny_dataset.model_name(".npz")
+    )
+    if not os.path.exists(path):
+        run_training(replace(tiny_dataset, train_model=True))
+    return path
+
+
 def test_train_then_infer(tiny_dataset):
     from dataclasses import replace
 
@@ -39,7 +54,7 @@ def test_train_then_infer(tiny_dataset):
         assert os.path.exists(os.path.join(out, artifact)), artifact
 
 
-def test_simulated_speck_mode(tiny_dataset):
+def test_simulated_speck_mode(tiny_dataset, tiny_model):
     from dataclasses import replace
 
     from lens_tpu.run_model import run_inference
@@ -52,7 +67,7 @@ def test_simulated_speck_mode(tiny_dataset):
     np.testing.assert_array_equal(res.counts, res2.counts)
 
 
-def test_event_driven_mode(tiny_dataset):
+def test_event_driven_mode(tiny_dataset, tiny_model):
     from dataclasses import replace
 
     from lens_tpu.runtime.stream import run_event_driven

@@ -49,6 +49,26 @@ def test_golden_recall(golden_setup, example_paths):
     assert R == GOLDEN_RECALL
 
 
+def test_golden_quantized_speck_sim(golden_setup, example_paths):
+    """The bit-accurate chip simulator: exact integer counts (reproducible
+    across backends — integer GEMMs in f32 are exact) and Recall@1 within
+    1% of the float path (the --simulated_speck north star)."""
+    from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized
+
+    ds, params, U = golden_setup
+    qp = discretize(params)
+    counts = np.asarray(
+        forward_counts_quantized(qp, ds.query_intensities_downsampled(10), U)
+    )
+    assert counts.sum() == 12192  # pinned: exact on every backend
+    dist = np.asarray(sequence_conv(counts.astype(np.float64), 2))
+    GT = np.load(example_paths["gt"])
+    GTtol = make_gt_tolerant(GT, seq_len=2, tolerance=3)
+    R = [round(recall_at_k(dist, GTtol, K=k), 2) for k in (1, 5, 10, 15, 20, 25)]
+    assert R == [0.64, 0.89, 0.95, 0.98, 0.99, 0.99]
+    assert abs(R[0] - GOLDEN_RECALL[0]) <= 0.01  # within the 1% budget
+
+
 def test_jax_raster_statistical_equivalence(golden_setup, example_paths):
     """Native-PRNG rasters must land within the 1% Recall@1 parity budget."""
     ds, params, _ = golden_setup

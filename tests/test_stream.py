@@ -57,13 +57,20 @@ def test_online_matcher_groups_and_matrix(tmp_path):
     assert saved.shape == (8, 10)  # saved transposed (run_speck.py:219)
 
 
-def test_online_matcher_averages_bins(tmp_path):
+def test_online_matcher_cumulative_rows(tmp_path):
     logger = logging.getLogger("test-matcher2")
     m = OnlineMatcher(
         n_places=4, sequence_length=1, output_folder=str(tmp_path), logger=logger
     )
-    # Each group of 4 bins averages (integer division, run_speck.py:195).
+    # Row 1: integer mean of the first 4 bins (run_speck.py:195).
     for v in ([4, 0, 0, 0], [4, 0, 0, 0], [5, 0, 0, 0], [6, 0, 0, 0]):
         m.push(np.array(v))
     assert len(m._rows) == 1
     np.testing.assert_array_equal(m._rows[0], [4, 0, 0, 0])  # 19//4
+    # Reference quirk: the accumulator is NOT cleared between rows
+    # (run_speck.py:221 resets only after a full 4-row block), so row 2
+    # includes row 1's bins: (19 + 4*1)//4 = 5.
+    for _ in range(4):
+        m.push(np.array([1, 0, 0, 0]))
+    assert len(m._rows) == 2
+    np.testing.assert_array_equal(m._rows[1], [5, 0, 0, 0])
