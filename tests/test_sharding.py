@@ -81,6 +81,35 @@ def test_dp_times_tp_mesh(setup):
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
 
 
+def test_large_place_database_tp(mesh):
+    """Big-DB scaling: a reference database far beyond the bundled datasets
+    (R=2048), place axis sharded over 'model' — the growth path the reference
+    architecture cannot take (SURVEY.md §2 TP row)."""
+    rng = np.random.default_rng(42)
+    n_in, n_feat, n_out, q, t = 16, 32, 2048, 8, 6
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (n_in, n_feat)).astype(np.float32),
+        rng.normal(0, 0.1, (n_feat, n_out)).astype(np.float32),
+        np.zeros(n_feat, np.float32),
+        np.zeros(n_out, np.float32),
+    )
+    intens = rng.random((q, n_in)).astype(np.float32)
+    u = rng.random((t, n_in)).astype(np.float32)
+    expected = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+
+    p_tp = params._replace(
+        w_feat=replicate(mesh, params.w_feat),
+        w_out=shard_output_axis(mesh, params.w_out, axis=1),
+        thr_feat=replicate(mesh, params.thr_feat),
+        thr_out=shard_output_axis(mesh, params.thr_out, axis=0),
+    )
+    got = forward_counts(
+        p_tp, replicate(mesh, jnp.asarray(intens)), replicate(mesh, jnp.asarray(u))
+    )
+    assert got.shape == (q, n_out)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
 def test_pad_to_multiple():
     a = np.ones((10, 3))
     b = pad_to_multiple(a, 0, 8)
