@@ -66,7 +66,7 @@ def test_golden_quantized_speck_sim(golden_setup, example_paths):
     GTtol = make_gt_tolerant(GT, seq_len=2, tolerance=3)
     R = [round(recall_at_k(dist, GTtol, K=k), 2) for k in (1, 5, 10, 15, 20, 25)]
     assert R == [0.64, 0.89, 0.95, 0.98, 0.99, 0.99]
-    assert abs(R[0] - GOLDEN_RECALL[0]) <= 0.01  # within the 1% budget
+    assert abs(R[0] - GOLDEN_RECALL[0]) <= 0.01 + 1e-9  # within the 1% budget
 
 
 def test_jax_raster_statistical_equivalence(golden_setup, example_paths):
