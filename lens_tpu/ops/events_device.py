@@ -1,0 +1,69 @@
+"""On-device event-tensor preprocessing.
+
+Device-side complement to the native host engine (native/lens_events.cpp).
+The host engine owns *streaming* ingest (variable-length, arrives on host);
+this module owns *batched* event tensors that are already device-resident —
+e.g. re-binning recorded streams during training-data augmentation — where
+the accumulation becomes one fused XLA scatter-add and the hot-pixel cap and
+ROI crop fuse into the same program.
+
+Static-shape contract (XLA): the event tensor is fixed-length; invalid or
+padding events are marked with x = SENTINEL and scatter to a discard row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.uint16(0xFFFF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_frames", "roi_x", "roi_y", "roi_w", "roi_h", "hot_thresh"),
+)
+def accumulate_frames_device(
+    t: jnp.ndarray,  # (N,) float32 seconds, sorted or not
+    x: jnp.ndarray,  # (N,) uint16 sensor coords
+    y: jnp.ndarray,  # (N,) uint16
+    t0: jnp.ndarray,  # () float32 stream start
+    timebin_s: float,
+    n_frames: int,
+    roi_x: int = 23,
+    roi_y: int = 0,
+    roi_w: int = 80,
+    roi_h: int = 80,
+    hot_thresh: int = 5,
+) -> jnp.ndarray:
+    """(n_frames, roi_h, roi_w) uint32 count frames.
+
+    Same semantics as the native engine's lens_accumulate_frames (ROI origin
+    crop per reference run_speck.py:268-271, per-bin hot-pixel cap per
+    dvs_filter.threshold): events outside the ROI, before t0, beyond the
+    frame budget, or marked with the x=SENTINEL padding value are dropped.
+    """
+    bins = jnp.floor((t - t0) / timebin_s).astype(jnp.int32)
+    xr = x.astype(jnp.int32) - roi_x
+    yr = y.astype(jnp.int32) - roi_y
+    valid = (
+        (x != SENTINEL)
+        & (t >= t0)
+        & (bins >= 0)
+        & (bins < n_frames)
+        & (xr >= 0)
+        & (xr < roi_w)
+        & (yr >= 0)
+        & (yr < roi_h)
+    )
+    # Invalid events scatter into a discard frame (index n_frames).
+    bins = jnp.where(valid, bins, n_frames)
+    flat = bins * (roi_h * roi_w) + jnp.where(valid, yr * roi_w + xr, 0)
+    counts = jnp.zeros(((n_frames + 1) * roi_h * roi_w,), jnp.uint32)
+    counts = counts.at[flat].add(1)
+    frames = counts[: n_frames * roi_h * roi_w].reshape(n_frames, roi_h, roi_w)
+    if hot_thresh > 0:
+        frames = jnp.minimum(frames, jnp.uint32(hot_thresh))
+    return frames
