@@ -17,6 +17,7 @@ import os
 import time
 from typing import List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from lens_tpu import checker
@@ -28,7 +29,10 @@ from lens_tpu.metrics.vpr import create_pr, recall_at_k
 from lens_tpu.ops.raster import make_thresholds
 from lens_tpu.ops.seqmatch import sequence_conv
 from lens_tpu.runtime import artifacts
-from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized
+from lens_tpu.runtime.speck_sim import (
+    discretize,
+    forward_counts_quantized_bucketed,
+)
 from lens_tpu.sad import run_sad
 from lens_tpu.utils import checkpoint
 from lens_tpu.utils.loggers import model_logger
@@ -68,7 +72,8 @@ def compute_similarity(
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
         return np.asarray(
-            forward_counts_quantized(qp, intensities, u_thresh), np.float64
+            forward_counts_quantized_bucketed(qp, jnp.asarray(intensities, jnp.float32), u_thresh),
+            np.float64,
         )
     from lens_tpu.ops.fused_forward import best_forward
 

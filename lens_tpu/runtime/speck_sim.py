@@ -81,6 +81,24 @@ def discretize(
     )
 
 
+def forward_counts_quantized_bucketed(
+    qparams: QuantizedParams,
+    intensities: jnp.ndarray,
+    u_thresh: jnp.ndarray,
+    q_bucket: int = 1024,
+) -> jnp.ndarray:
+    """Query-bucketed wrapper: pads Q up to a q_bucket multiple so every
+    dataset size reuses one compiled executable (padded zero-intensity rows
+    never spike; see ops/fused_forward.best_forward for the rationale)."""
+    q = intensities.shape[0]
+    q_p = ((q + q_bucket - 1) // q_bucket) * q_bucket
+    if q_p != q:
+        intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
+            intensities
+        )
+    return forward_counts_quantized(qparams, intensities, u_thresh)[:q]
+
+
 @jax.jit
 def forward_counts_quantized(
     qparams: QuantizedParams,
