@@ -189,6 +189,17 @@ def run_event_driven(cfg: LensConfig):
 
     frames, source_desc = frame_source(cfg)
     logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
+    # The on-chip thresholds (10/2) are tuned for raw DVS stream densities
+    # (~1e5 events/s on the reference hardware, run_speck.py logs); bundled
+    # PNG replays carry ~100x fewer events per bin, so sparse output spikes
+    # there are expected, not a fault.  Feed --event_file with a recorded
+    # stream for representative online behavior.
+    mean_events = float(np.asarray(frames, np.float64).sum() / max(len(frames), 1))
+    if mean_events < 5_000:
+        logger.info(
+            f"note: replay density is low ({mean_events:,.0f} events/bin); "
+            "on-chip thresholds may yield sparse output spikes"
+        )
 
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
