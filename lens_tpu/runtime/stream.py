@@ -45,6 +45,11 @@ from lens_tpu.utils import checkpoint
 from lens_tpu.utils.loggers import model_logger
 
 # On-chip spike thresholds for the streaming mode (run_speck.py:143-144).
+# Note these make a model trained for the default unit thresholds (like the
+# bundled example checkpoint) very conservative — the reference's on-chip
+# deployments tune firing rates for this regime via the hyperparameter sweep
+# (optimizer.py search space).  Sparse output on the example model is the
+# faithful behavior, not a simulator fault.
 STREAM_THRESHOLDS = SpikeThresholds(inp=1.0, feat=10.0, out=2.0)
 QUERIES_PER_SEQUENCE = 4  # run_speck.py:180: average every 4 timebins
 SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
@@ -98,6 +103,10 @@ def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
         t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
     else:
         t, x, y, _, _ = events_native.parse_text_events(path)
+    # The chip's dvs_filter.threshold=5 (run_speck.py:264) suppresses
+    # defective always-on pixels on a per-millisecond timescale; as a per-BIN
+    # cap it must scale with the bin length or it clips genuine activity
+    # (5 events per 250 ms would cap normal pixels).
     return events_native.accumulate_frames(
         t,
         x,
@@ -105,7 +114,7 @@ def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
         timebin_s=cfg.timebin / 1000.0,  # spike_collection interval is ms
         roi_origin=(23, 0),  # run_speck.py:268-271
         roi_size=(cfg.roi_dim, cfg.roi_dim),
-        hot_pixel_threshold=5,  # run_speck.py:264
+        hot_pixel_threshold=5 * max(int(cfg.timebin), 1),
     )
 
 
