@@ -122,24 +122,32 @@ def run_sweep(
     total_o = int(cfg.reference_places * cfg.epoch_out)
 
     log(f"Sweep: training {n_trials} trials in one vmapped program")
-    feat_b = jax.vmap(
-        lambda st: train_layer_scan(
-            st, feat_hyper, X[order_f], idx_all[order_f], total_steps=total_f
-        )
-    )(feat_b)
+    # Epoch-block chunking (as in train_model.train): shorter scans compile
+    # reliably on the remote TPU toolchain and bound per-dispatch latency.
+    block = 32 * n
 
-    def train_out(fst, ost):
+    def feat_chunk(st_b, sl, start):
+        return jax.vmap(
+            lambda st: train_layer_scan(
+                st, feat_hyper, X[order_f[sl]], idx_all[order_f[sl]],
+                total_steps=total_f, start_step=start,
+            )
+        )(st_b)
+
+    for s0 in range(0, total_f, block):
+        feat_b = feat_chunk(feat_b, slice(s0, min(s0 + block, total_f)), s0)
+
+    def out_chunk(fst, ost, sl, start):
         spikes = clamp_spikes(X @ fst.w, fst.thr)
         return train_layer_scan(
-            ost,
-            out_hyper,
-            spikes[order_o],
-            idx_all[order_o],
-            total_steps=total_o,
+            ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
+            total_steps=total_o, start_step=start,
             prev_fire_rate=fst.fire_rate,
         )
 
-    out_b = jax.vmap(train_out)(feat_b, out_b)
+    for s0 in range(0, total_o, block):
+        sl = slice(s0, min(s0 + block, total_o))
+        out_b = jax.vmap(lambda f, o: out_chunk(f, o, sl, s0))(feat_b, out_b)
 
     # --- batched inference -------------------------------------------------
     params_b = LensParams(
