@@ -182,6 +182,26 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
             res.recall_at_n, sad_recall, RECALL_NS, output_folder
         )
 
+    # Machine-readable run summary (beyond the reference's log/PDF-only
+    # outputs): recall, throughput, and latency for downstream tooling.
+    import json
+
+    with open(os.path.join(output_folder, "metrics.json"), "w") as f:
+        json.dump(
+            {
+                "recall_at_n": dict(zip(map(str, RECALL_NS), res.recall_at_n))
+                if res.recall_at_n
+                else None,
+                "frames_per_sec": res.frames_per_sec,
+                "p50_latency_ms": res.p50_latency_ms,
+                "queries": int(n_frames),
+                "timebin": cfg.timebin,
+                "backend": "simulated_speck" if cfg.simulated_speck else "float",
+            },
+            f,
+            indent=2,
+        )
+
     logger.info("")
     logger.info("Successfully completed inferencing using LENS")
     return res
