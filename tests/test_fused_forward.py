@@ -64,6 +64,18 @@ def test_pallas_no_min_v_mem(setup):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_pallas_multi_tile_grid(setup):
+    """Grid > 1: queries spanning several tiles must equal the scan path."""
+    params, intens, u = setup
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, tile_q=8, interpret=_interpret_needed()
+        )
+    )  # 30 queries over tile 8 -> grid of 4 with padding
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_pallas_padding_isolation(setup):
     """Padded lanes must never leak spikes: oddly-shaped dims."""
     rng = np.random.default_rng(1)

@@ -18,6 +18,36 @@ def test_sample_search_space_grid():
         assert 0.1 <= t["thr_h_feat"] <= 0.5
 
 
+def test_optimizer_cli_entry(tiny_dataset_cfg):
+    """The optimizer.py CLI end-to-end (reference optimizer.py:204 role)."""
+    import optimizer
+
+    cfg = tiny_dataset_cfg
+    res = optimizer.main(
+        [
+            "--dataset", cfg.dataset,
+            "--camera", cfg.camera,
+            "--reference", cfg.reference,
+            "--query", cfg.query,
+            "--data_dir", cfg.data_dir,
+            "--reference_places", str(cfg.reference_places),
+            "--query_places", str(cfg.query_places),
+            "--sequence_length", str(cfg.sequence_length),
+            "--GT_tolerance", str(cfg.GT_tolerance),
+            "--timebin", str(cfg.timebin),
+            "--dims", str(cfg.dims),
+            "--roi_dim", str(cfg.roi_dim),
+            "--epoch_feat", "2",
+            "--epoch_out", "2",
+            "--raster_mode", "jax",
+            "--models_dir", cfg.models_dir,
+            "--output_base", cfg.output_base,
+            "--n_trials", "2",
+        ]
+    )
+    assert res.recalls.shape == (2, 6)
+
+
 def test_run_sweep_tiny(tiny_dataset_cfg, tmp_path):
     cfg = replace(tiny_dataset_cfg, epoch_feat=2, epoch_out=2)
     res = run_sweep(cfg, n_trials=3, seed=0, output_folder=str(tmp_path))
