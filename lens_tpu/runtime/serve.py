@@ -60,6 +60,8 @@ class ModelHost:
             counts = self.model.spike_counts(intens)
         latency = (time.perf_counter() - t0) * 1000.0
         self.latencies_ms.append(latency)
+        if len(self.latencies_ms) > 10_000:  # bounded stats window
+            del self.latencies_ms[:5_000]
         self.requests += 1
         return {
             "matches": [int(c) for c in counts.argmax(axis=1)],
@@ -147,8 +149,6 @@ def serve(cfg: LensConfig, port: int = 8471, model: Optional[LensModel] = None):
 
 
 def main(argv=None) -> int:
-    import argparse
-
     from lens_tpu.config import build_arg_parser
     from lens_tpu.utils.jaxsetup import setup_jax
 
