@@ -101,16 +101,21 @@ def main() -> None:
     assert warm.shape == (BENCH_QUERIES, 100)
     _ = [np.asarray(best_forward(params, b, u)) for b in batches[:2]]  # settle
 
-    t0 = time.perf_counter()
-    outs = [best_forward(params, b, u) for b in batches]
-    mid = np.asarray(outs[ITERS // 2])
-    last = np.asarray(outs[-1])
-    dt = time.perf_counter() - t0
-    assert mid.shape == last.shape == (BENCH_QUERIES, 100)
-    assert mid.sum() > 0 and last.sum() > 0
+    # Median of three measurement windows — the tunneled host link adds
+    # run-to-run noise a single window inherits.
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [best_forward(params, b, u) for b in batches]
+        mid = np.asarray(outs[ITERS // 2])
+        last = np.asarray(outs[-1])
+        dt = time.perf_counter() - t0
+        assert mid.shape == last.shape == (BENCH_QUERIES, 100)
+        assert mid.sum() > 0 and last.sum() > 0
+        rates.append(BENCH_QUERIES * ITERS / dt)
 
     signal.alarm(0)
-    frames_per_sec = BENCH_QUERIES * ITERS / dt
+    frames_per_sec = float(np.median(rates))
     backend = jax.default_backend()
     metric = "event_frames_per_sec_per_chip"
     if backend == "cpu":
