@@ -54,6 +54,34 @@ def shard_output_axis(mesh: Mesh, arr: jax.Array, axis: int) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
 
+def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
+                         mesh: Optional[Mesh] = None):
+    """Multi-chip data-parallel inference: queries sharded over 'data',
+    params/threshold tensor replicated, one jitted program — XLA partitions
+    the scan across the mesh and gathers the (Q, R) counts.
+
+    Uses the XLA scan path (core.network.forward_counts): a Pallas custom
+    call does not SPMD-partition automatically, while the scan path does.
+    Pads the query axis to a device multiple and strips the padding after.
+    """
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    q = intensities.shape[0]
+    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
+    with mesh:
+        counts = forward_counts(
+            replicate(mesh, params),
+            shard_queries(mesh, jnp.asarray(intens)),
+            replicate(mesh, jnp.asarray(u_thresh)),
+            min_v_mem=min_v_mem,
+        )
+    return np.asarray(counts)[:q]
+
+
 def pad_to_multiple(arr: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     """Pad an axis up to a device-count multiple so sharding divides evenly."""
     size = arr.shape[axis]

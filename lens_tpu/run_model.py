@@ -68,13 +68,23 @@ def make_query_thresholds(cfg: LensConfig) -> np.ndarray:
 def compute_similarity(
     cfg: LensConfig, params, intensities: np.ndarray, u_thresh: np.ndarray
 ) -> np.ndarray:
-    """Dispatch to the float or quantized forward; returns (Q, R) counts."""
+    """Dispatch to the quantized, multi-chip, or fused-kernel forward;
+    returns (Q, R) counts."""
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
         return np.asarray(
             forward_counts_quantized_bucketed(qp, jnp.asarray(intensities, jnp.float32), u_thresh),
             np.float64,
         )
+    import jax
+
+    if len(jax.devices()) > 1:
+        # Multi-chip slice: shard the query axis across all devices (DP).
+        from lens_tpu.parallel.mesh import sharded_spike_counts
+
+        return sharded_spike_counts(
+            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem
+        ).astype(np.float64)
     from lens_tpu.ops.fused_forward import best_forward
 
     return np.asarray(

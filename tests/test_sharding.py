@@ -110,6 +110,18 @@ def test_large_place_database_tp(mesh):
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
 
 
+def test_sharded_spike_counts_matches_single(mesh, setup):
+    """The product's auto-DP eval path (run_model dispatches here when
+    multiple devices exist)."""
+    from lens_tpu.parallel.mesh import sharded_spike_counts
+
+    params, intens, u = setup
+    expected = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    got = sharded_spike_counts(params, intens[:27], u)  # 27 pads to 32
+    np.testing.assert_allclose(got, expected[:27], rtol=1e-6)
+    assert got.shape == (27, 16)
+
+
 def test_pad_to_multiple():
     a = np.ones((10, 3))
     b = pad_to_multiple(a, 0, 8)
