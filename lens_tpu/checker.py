@@ -15,10 +15,19 @@ from lens_tpu.config import LensConfig
 def check_args(cfg: LensConfig) -> None:
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
+
+    if cfg.collect_data:
+        # Collection CREATES datasets, so (deliberate fix of a reference
+        # quirk — checker.py:9 demands an existing reference dir even here)
+        # only the no-clobber check applies.
+        target = os.path.join(basepath, cfg.data_name)
+        assert not os.path.exists(target), f"Data directory already exists: {target}"
+        return
+
     ref_dir = os.path.join(basepath, cfg.reference)
     assert os.path.exists(ref_dir), f"Reference directory does not exist: {ref_dir}"
 
-    inference_mode = not (cfg.train_model or cfg.collect_data or cfg.event_driven)
+    inference_mode = not (cfg.train_model or cfg.event_driven)
     if inference_mode:
         qry_dir = os.path.join(basepath, cfg.query)
         assert os.path.exists(qry_dir), f"Query directory does not exist: {qry_dir}"
@@ -34,10 +43,6 @@ def check_args(cfg: LensConfig) -> None:
             f"Not enough query images for {cfg.query_places} places"
             f" and a filter of {cfg.filter}"
         )
-
-    if cfg.collect_data:
-        target = os.path.join(basepath, cfg.data_name)
-        assert not os.path.exists(target), f"Data directory already exists: {target}"
 
     # ROI / dims compatibility (checker.py:22-26 probes an actual Conv2d; the
     # conv with kernel=stride=k emits floor((roi - k)/k) + 1 windows).
