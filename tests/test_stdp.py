@@ -161,3 +161,16 @@ def test_scan_matches_python_loop(out_layer):
     np.testing.assert_allclose(
         np.asarray(scanned.thr), np.asarray(looped.thr), rtol=1e-6
     )
+
+
+def test_training_is_deterministic(tiny_dataset_cfg):
+    """Same seed, same data -> bit-identical trained parameters."""
+    import numpy as np
+
+    from lens_tpu.train_model import train
+
+    a = train(tiny_dataset_cfg)
+    b = train(tiny_dataset_cfg)
+    np.testing.assert_array_equal(np.asarray(a.w_feat), np.asarray(b.w_feat))
+    np.testing.assert_array_equal(np.asarray(a.w_out), np.asarray(b.w_out))
+    np.testing.assert_array_equal(np.asarray(a.thr_out), np.asarray(b.thr_out))
