@@ -38,10 +38,12 @@ def make_sample_stream(
     key: jax.Array, n_samples: int, epochs: int
 ) -> np.ndarray:
     """(epochs * n_samples,) indices: an independent shuffle per epoch
-    (the reference's DataLoader(shuffle=True), train_model.py:231-235)."""
+    (the reference's DataLoader(shuffle=True), train_model.py:231-235).
+    All epochs' permutations come from ONE vmapped device call — per-epoch
+    dispatches are costly through a remote device link."""
     keys = jax.random.split(key, epochs)
-    perms = [np.asarray(jax.random.permutation(k, n_samples)) for k in keys]
-    return np.concatenate(perms)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, n_samples))(keys)
+    return np.asarray(perms).reshape(-1)
 
 
 def init_training_layers(
