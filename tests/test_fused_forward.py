@@ -64,6 +64,38 @@ def test_pallas_no_min_v_mem(setup):
     np.testing.assert_array_equal(got, expected)
 
 
+def test_pallas_fuzz_shapes_and_thresholds():
+    """Randomized shapes/thresholds: kernel vs scan must agree bit-for-bit."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_in = int(rng.integers(3, 40))
+        n_feat = int(rng.integers(3, 50))
+        n_out = int(rng.integers(2, 30))
+        q = int(rng.integers(1, 20))
+        t = int(rng.integers(1, 30))
+        thr = SpikeThresholds(
+            1.0, float(rng.choice([1.0, 2.0, 5.0])), float(rng.choice([1.0, 3.0]))
+        )
+        params = params_from_numpy(
+            rng.normal(0, 0.4, (n_in, n_feat)).astype(np.float32),
+            rng.normal(0, 0.4, (n_feat, n_out)).astype(np.float32),
+            np.zeros(n_feat, np.float32),
+            np.zeros(n_out, np.float32),
+        )
+        intens = rng.random((q, n_in)).astype(np.float32)
+        u = rng.random((t, n_in)).astype(np.float32)
+        got = np.asarray(
+            forward_counts_pallas(
+                params, intens, u, spike_thresholds=thr, tile_q=16,
+                interpret=_interpret_needed(),
+            )
+        )
+        exp = np.asarray(
+            forward_counts_stepwise(params, intens, u, spike_thresholds=thr)
+        )
+        np.testing.assert_array_equal(got, exp, err_msg=f"trial {trial}")
+
+
 def test_pallas_multi_tile_grid(setup):
     """Grid > 1: queries spanning several tiles must equal the scan path."""
     params, intens, u = setup
