@@ -52,6 +52,15 @@ def test_train_then_infer(tiny_dataset):
     out = res.output_folder
     for artifact in ("distance_matrix_lens.pdf", "GTtol.pdf", "lens.log"):
         assert os.path.exists(os.path.join(out, artifact)), artifact
+    # Machine-readable run summary.
+    import json
+
+    with open(os.path.join(out, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["queries"] == cfg.query_places
+    assert metrics["backend"] == "float"
+    assert metrics["recall_at_n"]["1"] == res.recall_at_n[0]
+    assert metrics["frames_per_sec"] > 0 and metrics["p50_latency_ms"] > 0
 
 
 def test_simulated_speck_mode(tiny_dataset, tiny_model):
@@ -82,6 +91,18 @@ def test_event_driven_mode(tiny_dataset, tiny_model):
     assert os.path.exists(os.path.join(newest, "power_data.npy"))
     assert os.path.exists(os.path.join(newest, "events"))
     assert matcher is not None
+
+
+def test_profile_flag_emits_trace(tiny_dataset, tiny_model):
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    res = run_inference(replace(tiny_dataset, profile=True))
+    trace_dir = os.path.join(res.output_folder, "jax_trace")
+    assert os.path.isdir(trace_dir)
+    # The profiler writes plugin subdirs/files under the trace root.
+    assert any(os.scandir(trace_dir))
 
 
 def test_sad_baseline(tiny_dataset, tmp_path):
