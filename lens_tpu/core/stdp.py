@@ -17,6 +17,9 @@ Faithfully preserved reference quirks (SURVEY.md §7 "hard parts"):
     (blitnet.py:177-181).
   - both exc and inh weights receive +pre*post*eta in the forced branch
     (the double negation at blitnet.py:214-215).
+  - addWeights normalizes the WHOLE bank by one scalar — the L1 norm of the
+    last output neuron's row (blitnet.py:164 indexes W[len(W)-1] of a 2-D
+    (out, in) tensor) — not per-row/per-input (see init_weights).
 """
 
 from __future__ import annotations
@@ -59,15 +62,20 @@ def init_weights(
 ) -> jnp.ndarray:
     """One signed weight bank (reference addWeights, blitnet.py:127-168):
     N(mean=(lo+hi)/2, std=(hi-lo)/6), wrong-sign entries zeroed, synapses kept
-    with probability p, then L1-normalized per input so each input's total
-    |weight| is 1."""
+    with probability p, then the ENTIRE matrix divided by one scalar — the L1
+    norm of the LAST OUTPUT NEURON's input-weight row.  The reference computes
+    `torch.linalg.norm(W[len(W)-1], ord=1, axis=0)` on a 2-D (out, in) W
+    (blitnet.py:164): `W[len(W)-1]` is the last row, and ord=1/axis=0 on that
+    1-D vector is a plain abs-sum — a single scalar applied to every weight.
+    In this module's (in, out) layout that row is column `n_out - 1`.  Quirk
+    preserved verbatim (zero norm guarded to 1, blitnet.py:165)."""
     lo, hi = w_range
     k1, k2 = jax.random.split(key)
     w = jax.random.normal(k1, (n_in, n_out)) * ((hi - lo) / 6.0) + (lo + hi) / 2.0
     w = jnp.where(w < 0, 0.0, w) if hi != 0 else jnp.where(w > 0, 0.0, w)
     keep = jax.random.uniform(k2, (n_in, n_out)) <= p
     w = jnp.where(keep, w, 0.0)
-    nrm = jnp.abs(w).sum(axis=1, keepdims=True)
+    nrm = jnp.abs(w[:, -1]).sum()
     nrm = jnp.where(nrm == 0.0, 1.0, nrm)
     return w / nrm
 
