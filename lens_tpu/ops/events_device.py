@@ -14,36 +14,63 @@ padding events are marked with x = SENTINEL and scatter to a discard row.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+from lens_tpu.runtime.events_native import hot_pixel_cap
+
 SENTINEL = jnp.uint16(0xFFFF)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_frames", "roi_x", "roi_y", "roi_w", "roi_h", "hot_thresh"),
-)
 def accumulate_frames_device(
-    t: jnp.ndarray,  # (N,) float32 seconds, sorted or not
-    x: jnp.ndarray,  # (N,) uint16 sensor coords
-    y: jnp.ndarray,  # (N,) uint16
-    t0: jnp.ndarray,  # () float32 stream start
+    t: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    t0: jnp.ndarray,
     timebin_s: float,
     n_frames: int,
     roi_x: int = 23,
     roi_y: int = 0,
     roi_w: int = 80,
     roi_h: int = 80,
-    hot_thresh: int = 5,
+    hot_thresh: Optional[int] = None,
+) -> jnp.ndarray:
+    """Device scatter-add accumulation; default hot-pixel cap derives from the
+    SAME rate->bin scaling as the host engines (events_native.hot_pixel_cap),
+    so both engines produce identical frames for identical defaults."""
+    if hot_thresh is None:
+        hot_thresh = hot_pixel_cap(timebin_s)
+    return _accumulate_frames_device(
+        t, x, y, t0, timebin_s, n_frames, roi_x, roi_y, roi_w, roi_h, hot_thresh
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_frames", "roi_x", "roi_y", "roi_w", "roi_h", "hot_thresh"),
+)
+def _accumulate_frames_device(
+    t: jnp.ndarray,  # (N,) float32 seconds, sorted or not
+    x: jnp.ndarray,  # (N,) uint16 sensor coords
+    y: jnp.ndarray,  # (N,) uint16
+    t0: jnp.ndarray,  # () float32 stream start
+    timebin_s: float,
+    n_frames: int,
+    roi_x: int,
+    roi_y: int,
+    roi_w: int,
+    roi_h: int,
+    hot_thresh: int,
 ) -> jnp.ndarray:
     """(n_frames, roi_h, roi_w) uint32 count frames.
 
     Same semantics as the native engine's lens_accumulate_frames (ROI origin
-    crop per reference run_speck.py:268-271, per-bin hot-pixel cap per
-    dvs_filter.threshold): events outside the ROI, before t0, beyond the
-    frame budget, or marked with the x=SENTINEL padding value are dropped.
+    crop per reference run_speck.py:268-271, hot-pixel cap per
+    dvs_filter.threshold scaled by bin length): events outside the ROI,
+    before t0, beyond the frame budget, or marked with the x=SENTINEL padding
+    value are dropped.
     """
     bins = jnp.floor((t - t0) / timebin_s).astype(jnp.int32)
     xr = x.astype(jnp.int32) - roi_x

@@ -47,7 +47,8 @@ class InferenceResult:
         self.dist_matrix: Optional[np.ndarray] = None
         self.counts: Optional[np.ndarray] = None
         self.frames_per_sec: float = 0.0
-        self.p50_latency_ms: float = 0.0
+        self.amortized_latency_ms: float = 0.0  # batch time / n_queries
+        self.p50_latency_ms: float = 0.0  # measured single-query p50
         self.output_folder: str = ""
 
 
@@ -105,10 +106,15 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
     intensities = ds.query_intensities_downsampled(cfg.dims)
     u_thresh = make_query_thresholds(cfg)
 
-    # Warm-up compile, then timed run (compile time is not query latency).
+    # Warm-up compile + the real result matrix (compile time is not latency).
     t0 = time.perf_counter()
     counts = compute_similarity(cfg, params, intensities, u_thresh)
     compile_and_run = time.perf_counter() - t0
+    # Steady-state throughput window times a DISTINCT batch: re-dispatching
+    # identical device buffers can be served from the relay's execution cache
+    # and inflate throughput (see bench.py); compute_similarity materializes
+    # its output to host numpy, the only airtight timing fence here.
+    timing_batch = np.roll(intensities, 1, axis=0)
     if cfg.profile:
         # TPU-equivalent of the reference's hardware power profiling slot
         # (SURVEY.md §5): a JAX profiler trace viewable in TensorBoard/xprof.
@@ -116,18 +122,29 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
 
         with jax.profiler.trace(os.path.join(output_folder, "jax_trace")):
             t0 = time.perf_counter()
-            counts = compute_similarity(cfg, params, intensities, u_thresh)
+            compute_similarity(cfg, params, timing_batch, u_thresh)
             steady = time.perf_counter() - t0
     else:
         t0 = time.perf_counter()
-        counts = compute_similarity(cfg, params, intensities, u_thresh)
+        compute_similarity(cfg, params, timing_batch, u_thresh)
         steady = time.perf_counter() - t0
     n_frames = intensities.shape[0]
     res.frames_per_sec = n_frames / steady if steady > 0 else float("inf")
-    res.p50_latency_ms = steady / n_frames * 1000.0
+    res.amortized_latency_ms = steady / n_frames * 1000.0
+    # Real per-query p50: distinct single-query dispatches through the same
+    # forward (the single-query shape pads to the same bucket, so no fresh
+    # compile).  Matches runtime/serve.py's definition of latency.
+    lat_s = []
+    for i in range(min(11, n_frames)):
+        q1 = intensities[i : i + 1]
+        t0 = time.perf_counter()
+        compute_similarity(cfg, params, q1, u_thresh)
+        lat_s.append(time.perf_counter() - t0)
+    res.p50_latency_ms = float(np.percentile(lat_s, 50) * 1000.0)
     logger.info(
         f"Evaluated {n_frames} queries x {cfg.timebin} timesteps: "
-        f"{res.frames_per_sec:,.0f} frames/s (first run incl. compile: "
+        f"{res.frames_per_sec:,.0f} frames/s, single-query p50 "
+        f"{res.p50_latency_ms:.1f}ms (first run incl. compile: "
         f"{compile_and_run:.2f}s)"
     )
     res.counts = counts
@@ -203,6 +220,7 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
                 if res.recall_at_n
                 else None,
                 "frames_per_sec": res.frames_per_sec,
+                "amortized_latency_ms": res.amortized_latency_ms,
                 "p50_latency_ms": res.p50_latency_ms,
                 "queries": int(n_frames),
                 "timebin": cfg.timebin,

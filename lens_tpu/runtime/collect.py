@@ -50,8 +50,9 @@ def run_collector(cfg: LensConfig) -> str:
         timebin_s=cfg.timebin / 1000.0,
         roi_origin=(23, 0),  # collect_data.py:230-233
         roi_size=(cfg.roi_dim, cfg.roi_dim),
-        # Rate threshold (collect_data.py:234-235) scaled to a per-bin cap.
-        hot_pixel_threshold=5 * max(int(cfg.timebin), 1),
+        # Rate threshold (collect_data.py:234-235) scaled to a per-bin cap
+        # by the shared helper (single source of truth across engines).
+        hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
     )
     for i, frame in enumerate(frames):
         img = np.clip(frame, 0, 255).astype(np.uint8)

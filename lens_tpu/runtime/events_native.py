@@ -78,6 +78,23 @@ def _as(arr, dtype):
     return np.ascontiguousarray(arr, dtype=dtype)
 
 
+HOT_PIXEL_RATE_PER_MS = 5  # chip dvs_filter.threshold (run_speck.py:262-264)
+
+
+def hot_pixel_cap(timebin_s: float, rate_per_ms: int = HOT_PIXEL_RATE_PER_MS) -> int:
+    """Per-bin cap equivalent of the chip's RATE-based defective-pixel filter.
+
+    The chip's `dvs_filter.threshold = 5` (run_speck.py:262-264,
+    collect_data.py:234-235) suppresses always-on pixels on a ~per-ms
+    timescale; applied to an accumulated bin the threshold must scale with
+    the bin length or it clips genuine activity (5 events per 250 ms bin
+    would cap normal pixels).  This is the single source of truth for that
+    scaling — every accumulation engine (native C++, numpy fallback, device
+    scatter-add) derives its default cap here so they agree bin-for-bin.
+    """
+    return rate_per_ms * max(int(round(timebin_s * 1000.0)), 1)
+
+
 def accumulate_frames(
     t: np.ndarray,
     x: np.ndarray,
@@ -85,13 +102,16 @@ def accumulate_frames(
     timebin_s: float,
     roi_origin: Tuple[int, int] = (23, 0),
     roi_size: Tuple[int, int] = (80, 80),
-    hot_pixel_threshold: int = 5,
+    hot_pixel_threshold: Optional[int] = None,
     t0: float = -1.0,
     max_frames: int = 100_000,
 ) -> np.ndarray:
     """Event stream -> (F, roi_h, roi_w) uint32 count frames with ROI crop and
     hot-pixel cap.  Defaults reproduce the Speck DVS preprocessing config of
-    reference run_speck.py:261-271 (origin (23,0), 80x80 cut, threshold 5)."""
+    reference run_speck.py:261-271 (origin (23,0), 80x80 cut, rate threshold 5
+    scaled to the bin length — see hot_pixel_cap); pass 0 to disable."""
+    if hot_pixel_threshold is None:
+        hot_pixel_threshold = hot_pixel_cap(timebin_s)
     t = _as(t, np.float64)
     x = _as(x, np.uint16)
     y = _as(y, np.uint16)

@@ -53,6 +53,7 @@ from lens_tpu.utils.loggers import model_logger
 STREAM_THRESHOLDS = SpikeThresholds(inp=1.0, feat=10.0, out=2.0)
 QUERIES_PER_SEQUENCE = 4  # run_speck.py:180: average every 4 timebins
 SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
+SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
@@ -103,10 +104,8 @@ def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
         t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
     else:
         t, x, y, _, _ = events_native.parse_text_events(path)
-    # The chip's dvs_filter.threshold=5 (run_speck.py:264) suppresses
-    # defective always-on pixels on a per-millisecond timescale; as a per-BIN
-    # cap it must scale with the bin length or it clips genuine activity
-    # (5 events per 250 ms would cap normal pixels).
+    # Hot-pixel cap: the shared rate->bin scaling (events_native.hot_pixel_cap
+    # is the single source of truth for the dvs_filter.threshold semantics).
     return events_native.accumulate_frames(
         t,
         x,
@@ -114,7 +113,7 @@ def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
         timebin_s=cfg.timebin / 1000.0,  # spike_collection interval is ms
         roi_origin=(23, 0),  # run_speck.py:268-271
         roi_size=(cfg.roi_dim, cfg.roi_dim),
-        hot_pixel_threshold=5 * max(int(cfg.timebin), 1),
+        hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
     )
 
 
@@ -232,15 +231,20 @@ def run_event_driven(cfg: LensConfig):
             f"Collected {int(counts.sum())} output spikes at time {time.time()}"
         )  # run_speck.py:167 cadence log
         spike_log.append(counts)
-        np.save(
-            os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log)
-        )  # run_speck.py:171-172
+        # Flush periodically, not per bin: rewriting the whole array every bin
+        # makes artifact IO quadratic in stream length (round-1 weak spot).
+        if (i + 1) % SPIKE_FLUSH_BINS == 0:
+            np.save(
+                os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log)
+            )  # run_speck.py:171-172
         if cfg.save_input:
             ev_dir = os.path.join(output_folder, "events")
             os.makedirs(ev_dir, exist_ok=True)
             np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
         matcher.push(counts)
 
+    if spike_log:
+        np.save(os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log))
     power.save(os.path.join(output_folder, "power_data.npy"))
     logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")
     logger.info("")

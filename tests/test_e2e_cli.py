@@ -61,6 +61,7 @@ def test_train_then_infer(tiny_dataset):
     assert metrics["backend"] == "float"
     assert metrics["recall_at_n"]["1"] == res.recall_at_n[0]
     assert metrics["frames_per_sec"] > 0 and metrics["p50_latency_ms"] > 0
+    assert metrics["amortized_latency_ms"] > 0
 
 
 def test_simulated_speck_mode(tiny_dataset, tiny_model):

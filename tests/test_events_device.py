@@ -13,10 +13,33 @@ def test_device_accumulation_matches_native():
     native = ev.accumulate_frames(t, x, y, 0.1, (23, 0), (80, 80), 5)
     device = np.asarray(
         accumulate_frames_device(
+            t, x, y, np.float32(t[0]), 0.1, n_frames=native.shape[0], hot_thresh=5
+        )
+    )
+    np.testing.assert_array_equal(device, native)
+
+
+def test_engines_agree_on_default_hot_pixel_cap():
+    """Both accumulation engines must derive the SAME default per-bin cap
+    from the shared rate->bin scaling helper (the advisor flagged silently
+    divergent defaults in round 1)."""
+    assert ev.hot_pixel_cap(0.1) == 500  # 5 events/ms * 100 ms
+    assert ev.hot_pixel_cap(0.001) == 5
+    assert ev.hot_pixel_cap(0.0) == 5  # sub-ms bins floor at 1 ms
+    rng = np.random.default_rng(1)
+    n = 5000
+    t = np.sort(rng.uniform(0, 0.3, n)).astype(np.float32)
+    # concentrate on few pixels so caps actually bite
+    x = (23 + rng.integers(0, 3, n)).astype(np.uint16)
+    y = rng.integers(0, 3, n).astype(np.uint16)
+    native = ev.accumulate_frames(t, x, y, 0.1, (23, 0), (80, 80))  # default cap
+    device = np.asarray(
+        accumulate_frames_device(
             t, x, y, np.float32(t[0]), 0.1, n_frames=native.shape[0]
         )
     )
     np.testing.assert_array_equal(device, native)
+    assert native.max() <= 500
 
 
 def test_device_accumulation_sentinel_padding():
