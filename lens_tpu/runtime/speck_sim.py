@@ -7,14 +7,28 @@ chip is replaced by an integer spiking simulator so the mode runs anywhere
 (BASELINE.json north star: "reproduces on-chip spike counts with no
 samna/hardware").
 
-Discretization semantics (first-party definition, modeled on the DynapCNN
-constraints — 8-bit weights, 16-bit membrane/threshold state):
+Discretization semantics: the published sinabs-dynapcnn algorithm
+(sinabs.backend.dynapcnn.discretize — the exact code path
+DynapcnnNetwork(discretize=True) runs), reimplemented clean-room:
 
-  per (weight, IAF) pair:
-    scale  = min(127 / max|W|,  32767 / max(|thr|, |min_v_mem|))
-    W_q    = round(W * scale)      (int, |W_q| <= 127)
-    thr_q  = round(thr * scale)    (int, <= 32767)
-    minv_q = round(min_v_mem * scale)
+  per (weight, IAF) layer pair, with B-bit signed integer ranges
+  [-2^(B-1), 2^(B-1)-1] (weights B=8 -> [-128, 127]; membrane/threshold
+  state B=16 -> [-32768, 32767]):
+
+    scale(x_min, x_max, B) = min(|(-2^(B-1)) / x_min|,   (inf if x_min == 0)
+                                 |(2^(B-1)-1) / x_max|)  (inf if x_max == 0)
+    layer_scale = min(scale(W.min(), W.max(), 8),
+                      scale(min(thr, min_v_mem), max(thr, min_v_mem), 16))
+    W_q    = round_half_to_even(W * layer_scale)         (torch.round semantics)
+    thr_q  = round_half_to_even(thr * layer_scale)
+    minv_q = round_half_to_even(min_v_mem * layer_scale)
+
+  Notes pinned by tests/test_speck_sim.py:
+    - the signed range is ASYMMETRIC: a weight bank spanning [-2, 1]
+      scales by min(128/2, 127/1) = 64, not 127/2 = 63.5;
+    - the state constraint covers BOTH the spike threshold and min_v_mem
+      via a joint min/max (sinabs builds one tensor of the two);
+    - ties round half-to-even exactly like torch.round.
 
 and the membrane dynamics run in exact int32 arithmetic (core/iaf.py
 iaf_step_int).  Spike counts are therefore reproducible bit-for-bit across
@@ -38,8 +52,12 @@ import numpy as np
 from lens_tpu.core.iaf import iaf_step_int
 from lens_tpu.core.network import LensParams, SpikeThresholds
 
-WEIGHT_BITS_MAX = 127  # 8-bit signed weights
-STATE_BITS_MAX = 32767  # 16-bit signed membrane / threshold
+WEIGHT_BITS = 8  # DYNAPCNN_WEIGHT_PRECISION_BITS
+STATE_BITS = 16  # DYNAPCNN_STATE_PRECISION_BITS
+WEIGHT_BITS_MAX = 2 ** (WEIGHT_BITS - 1) - 1  # 127
+WEIGHT_BITS_MIN = -(2 ** (WEIGHT_BITS - 1))  # -128
+STATE_BITS_MAX = 2 ** (STATE_BITS - 1) - 1  # 32767
+STATE_BITS_MIN = -(2 ** (STATE_BITS - 1))  # -32768
 
 
 class QuantizedParams(NamedTuple):
@@ -53,10 +71,34 @@ class QuantizedParams(NamedTuple):
     scale_out: float
 
 
+def discretization_scale(x_min: float, x_max: float, bits: int) -> float:
+    """Largest scale keeping [x_min, x_max] inside the signed `bits`-bit range.
+
+    The sinabs rule (determine_discretization_scale): the negative extreme may
+    reach -2^(bits-1) and the positive extreme 2^(bits-1)-1 — the range is
+    asymmetric — and a zero extreme imposes no constraint (inf).
+    """
+    lo = float(-(2 ** (bits - 1)))
+    hi = float(2 ** (bits - 1) - 1)
+    s_min = abs(lo / x_min) if x_min != 0.0 else float("inf")
+    s_max = abs(hi / x_max) if x_max != 0.0 else float("inf")
+    return min(s_min, s_max)
+
+
 def _layer_scale(w: np.ndarray, thr: float, min_v: float) -> float:
-    wmax = float(np.abs(w).max())
-    smax = max(abs(thr), abs(min_v), 1e-12)
-    return min(WEIGHT_BITS_MAX / max(wmax, 1e-12), STATE_BITS_MAX / smax)
+    """Per (weight, IAF) pair: min of the 8-bit weight scale and the 16-bit
+    state scale over the joint {threshold, min_v_mem} extremes (sinabs builds
+    one state tensor of the two and takes its min/max)."""
+    s_w = discretization_scale(float(w.min()), float(w.max()), WEIGHT_BITS)
+    s_state = discretization_scale(min(thr, min_v), max(thr, min_v), STATE_BITS)
+    s = min(s_w, s_state)
+    return s if np.isfinite(s) else 1.0  # all-zero layer: nothing to scale
+
+
+def _round_int(x) -> np.ndarray:
+    """Half-to-even rounding — torch.round / np.rint semantics, the rounding
+    DynapcnnNetwork(discretize=True) applies."""
+    return np.rint(np.asarray(x, np.float64))
 
 
 def discretize(
@@ -64,18 +106,25 @@ def discretize(
     spike_thresholds: SpikeThresholds = SpikeThresholds(),
     min_v_mem: float = -1.0,
 ) -> QuantizedParams:
-    """Quantize float inference params to chip integer precision."""
+    """Quantize float inference params to chip integer precision using the
+    published sinabs-dynapcnn discretization (see module docstring).
+
+    Matches reference run_model.py:165-168 (DynapcnnNetwork(snn=...,
+    discretize=True)); the IAF defaults there come from sinabs.from_model:
+    spike_threshold=1.0, min_v_mem=-1.0, so the state scale is 32767 unless
+    a threshold override (e.g. streaming's 10/2, run_speck.py:143-144) binds.
+    """
     w_feat = np.asarray(params.w_feat)
     w_out = np.asarray(params.w_out)
     s_feat = _layer_scale(w_feat, spike_thresholds.feat, min_v_mem)
     s_out = _layer_scale(w_out, spike_thresholds.out, min_v_mem)
     return QuantizedParams(
-        w_feat=jnp.asarray(np.rint(w_feat * s_feat), jnp.int32),
-        w_out=jnp.asarray(np.rint(w_out * s_out), jnp.int32),
-        thr_feat=jnp.int32(round(spike_thresholds.feat * s_feat)),
-        thr_out=jnp.int32(round(spike_thresholds.out * s_out)),
-        minv_feat=jnp.int32(round(min_v_mem * s_feat)),
-        minv_out=jnp.int32(round(min_v_mem * s_out)),
+        w_feat=jnp.asarray(_round_int(w_feat * s_feat), jnp.int32),
+        w_out=jnp.asarray(_round_int(w_out * s_out), jnp.int32),
+        thr_feat=jnp.int32(_round_int(spike_thresholds.feat * s_feat)),
+        thr_out=jnp.int32(_round_int(spike_thresholds.out * s_out)),
+        minv_feat=jnp.int32(_round_int(min_v_mem * s_feat)),
+        minv_out=jnp.int32(_round_int(min_v_mem * s_out)),
         scale_feat=s_feat,
         scale_out=s_out,
     )

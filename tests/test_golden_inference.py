@@ -52,7 +52,15 @@ def test_golden_recall(golden_setup, example_paths):
 def test_golden_quantized_speck_sim(golden_setup, example_paths):
     """The bit-accurate chip simulator: exact integer counts (reproducible
     across backends — integer GEMMs in f32 are exact) and Recall@1 within
-    1% of the float path (the --simulated_speck north star)."""
+    1% of the float path (the --simulated_speck north star).
+
+    Goldens pinned under the published sinabs-dynapcnn discretization
+    (asymmetric signed ranges; see runtime/speck_sim.py).  Delta from the
+    round-1 invented scheme (symmetric 127/max|W|): the example model's
+    negative weight extremes now map to -128, shifting both layer scales
+    (feat 27.39 vs 27.18, out 1203.9 vs 1194.5); total counts moved
+    12192 -> 12304 and Recall@1 0.64 -> 0.65 — now equal to the float path.
+    """
     from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized
 
     ds, params, U = golden_setup
@@ -60,12 +68,12 @@ def test_golden_quantized_speck_sim(golden_setup, example_paths):
     counts = np.asarray(
         forward_counts_quantized(qp, ds.query_intensities_downsampled(10), U)
     )
-    assert counts.sum() == 12192  # pinned: exact on every backend
+    assert counts.sum() == 12304  # pinned: exact on every backend
     dist = np.asarray(sequence_conv(counts.astype(np.float64), 2))
     GT = np.load(example_paths["gt"])
     GTtol = make_gt_tolerant(GT, seq_len=2, tolerance=3)
     R = [round(recall_at_k(dist, GTtol, K=k), 2) for k in (1, 5, 10, 15, 20, 25)]
-    assert R == [0.64, 0.89, 0.95, 0.98, 0.99, 0.99]
+    assert R == [0.65, 0.86, 0.95, 0.98, 0.99, 0.99]
     assert abs(R[0] - GOLDEN_RECALL[0]) <= 0.01 + 1e-9  # within the 1% budget
 
 

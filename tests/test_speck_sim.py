@@ -5,6 +5,7 @@ from lens_tpu.core.network import SpikeThresholds, forward_counts, params_from_n
 from lens_tpu.runtime.speck_sim import (
     STATE_BITS_MAX,
     WEIGHT_BITS_MAX,
+    discretization_scale,
     discretize,
     forward_counts_quantized,
 )
@@ -23,12 +24,12 @@ def small_params():
 
 def test_discretize_ranges(small_params):
     qp = discretize(small_params)
-    assert np.abs(np.asarray(qp.w_feat)).max() <= WEIGHT_BITS_MAX
-    assert np.abs(np.asarray(qp.w_out)).max() <= WEIGHT_BITS_MAX
+    for w in (np.asarray(qp.w_feat), np.asarray(qp.w_out)):
+        # Asymmetric signed int8 range, and the binding extreme is saturated
+        # exactly (the scale is chosen so one limit is hit).
+        assert w.min() >= -128 and w.max() <= WEIGHT_BITS_MAX
+        assert w.min() == -128 or w.max() == WEIGHT_BITS_MAX
     assert int(qp.thr_feat) <= STATE_BITS_MAX
-    # Largest weight maps to exactly the int8 limit (scale = 127/max|W|
-    # unless the threshold constraint binds).
-    assert np.abs(np.asarray(qp.w_feat)).max() == WEIGHT_BITS_MAX
 
 
 def test_quantized_forward_deterministic(small_params):
@@ -53,6 +54,55 @@ def test_quantized_tracks_float(small_params):
     fc = np.asarray(forward_counts(small_params, intens, u), np.float64)
     # Agreement on aggregate rate within a few percent.
     assert abs(qc.sum() - fc.sum()) <= max(0.05 * fc.sum(), 10)
+
+
+def test_sinabs_scale_rule_asymmetric_range():
+    """The published sinabs rule (determine_discretization_scale): the signed
+    range is asymmetric — the negative extreme may reach -2^(B-1), the
+    positive only 2^(B-1)-1 — and zero extremes impose no constraint."""
+    # W spanning [-2, 1]: min(128/2, 127/1) = 64, NOT 127/2 = 63.5
+    assert discretization_scale(-2.0, 1.0, 8) == 64.0
+    # all-positive weights: only the upper limit binds
+    assert discretization_scale(0.0, 0.5, 8) == 254.0
+    # all-negative weights: only the lower limit binds
+    assert discretization_scale(-0.5, 0.0, 8) == 256.0
+    # the default IAF state tensor [thr=1, min_v=-1]: min(32768/1, 32767/1)
+    assert discretization_scale(-1.0, 1.0, 16) == 32767.0
+    # streaming threshold override 10 with min_v -1: 32767/10 binds
+    assert discretization_scale(-1.0, 10.0, 16) == 3276.7
+
+
+def test_sinabs_layer_scale_and_rounding():
+    """End-to-end check of one layer pair against a hand computation of the
+    sinabs algorithm, including half-to-even tie rounding (torch.round)."""
+    w = np.array([[-2.0, 1.0], [0.5, 0.0117187500]], np.float32)  # scale 64
+    params = params_from_numpy(
+        w, np.full((2, 2), 0.25, np.float32), np.zeros(2, np.float32), np.zeros(2, np.float32)
+    )
+    qp = discretize(params, SpikeThresholds(1.0, 1.0, 1.0), min_v_mem=-1.0)
+    assert qp.scale_feat == 64.0
+    expected = np.array([[-128, 64], [32, 1]], np.int32)
+    # 0.01171875 * 64 = 0.75 -> 1;  also pin a half-to-even tie:
+    np.testing.assert_array_equal(np.asarray(qp.w_feat), expected)
+    assert int(qp.thr_feat) == 64 and int(qp.minv_feat) == -64
+    # out layer: all 0.25 -> scale 127/0.25 = 508; 0.25*508 = 127
+    assert qp.scale_out == 508.0
+    np.testing.assert_array_equal(np.asarray(qp.w_out), np.full((2, 2), 127))
+
+
+def test_half_to_even_tie_rounding():
+    """torch.round rounds .5 ties to even; the simulator must match."""
+    params = params_from_numpy(
+        np.array([[0.5, 1.5], [2.5, 127.0]], np.float32),  # scale 127/127 = 1
+        np.full((2, 2), 0.5, np.float32),
+        np.zeros(2, np.float32),
+        np.zeros(2, np.float32),
+    )
+    qp = discretize(params, SpikeThresholds(1.0, 1.0, 1.0), min_v_mem=-1.0)
+    assert qp.scale_feat == 1.0  # 127/127 binds exactly
+    np.testing.assert_array_equal(
+        np.asarray(qp.w_feat), np.array([[0, 2], [2, 127]], np.int32)
+    )
 
 
 def test_threshold_overrides_scale():
