@@ -56,6 +56,91 @@ SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 
 
+@jax.jit
+def stream_forward_counts_carry(
+    qparams: QuantizedParams,
+    raster: jnp.ndarray,  # (S, n_in) int32 — per-substep input spike counts
+    v_feat: jnp.ndarray,  # (n_feat,) int32 membrane carry
+    v_out: jnp.ndarray,  # (n_out,) int32 membrane carry
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One bin of quantized streaming forward with PERSISTENT membranes.
+
+    The chip never resets membranes between spike-collection intervals (the
+    network runs continuously; run_speck.py:281-299 only *reads out* counts
+    per interval), so the streaming loop threads (v_feat, v_out) through this
+    function bin after bin.  The input raster is a per-substep count tensor —
+    built either by even spreading (frame replay, no timestamps) or by
+    event-time rasterization (AER path, rasterize_bin_events).
+
+    Returns (output spike counts (n_out,), new v_feat, new v_out).
+    """
+    wf = qparams.w_feat.astype(jnp.float32)
+    wo = qparams.w_out.astype(jnp.float32)
+
+    def step(carry, x_t):
+        v2, v3, acc = carry
+        h = jnp.dot(
+            x_t.astype(jnp.float32), wf, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        v2, s2 = iaf_step_int(v2, h, qparams.thr_feat, qparams.minv_feat)
+        h2 = jnp.dot(
+            s2.astype(jnp.float32), wo, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
+        return (v2, v3, acc + s3), None
+
+    init = (v_feat, v_out, jnp.zeros_like(v_out))
+    (v2, v3, acc), _ = jax.lax.scan(step, init, raster)
+    return acc, v2, v3
+
+
+def even_spread_raster(counts: np.ndarray, steps: int) -> np.ndarray:
+    """(n_in,) per-bin counts -> (steps, n_in) deterministic raster: substep t
+    carries floor(c*(t+1)/steps) - floor(c*t/steps) spikes, preserving totals
+    exactly.  Used when the source has no event timestamps (frame replay)."""
+    c = counts.astype(np.float64)[None, :]
+    t = np.arange(steps, dtype=np.float64)[:, None]
+    return (np.floor(c * (t + 1.0) / steps) - np.floor(c * t / steps)).astype(
+        np.int32
+    )
+
+
+def rasterize_bin_events(
+    t_rel: np.ndarray,  # (N,) seconds inside the bin, in [0, timebin_s)
+    pix: np.ndarray,  # (N,) flat input-pixel index (already downsampled)
+    timebin_s: float,
+    substeps: int,
+    n_in: int,
+    hot_cap: int = 0,
+) -> np.ndarray:
+    """Event-TIME rasterization of one bin: scatter each event into the
+    substep its timestamp falls in (the chip integrates events on arrival,
+    run_speck.py:281-299 — unlike even_spread_raster which invents timing).
+
+    hot_cap > 0 applies the per-bin hot-pixel cap keeping the EARLIEST events
+    (cumulative clip along the substep axis), matching the rate-filter
+    semantics of events_native.hot_pixel_cap.
+    """
+    raster = np.zeros((substeps, n_in), np.int32)
+    if len(t_rel):
+        s = np.clip((t_rel / timebin_s * substeps).astype(np.int64), 0, substeps - 1)
+        np.add.at(raster, (s, pix.astype(np.int64)), 1)
+    if hot_cap > 0:
+        cum = np.minimum(np.cumsum(raster, axis=0), hot_cap)
+        raster = np.diff(cum, axis=0, prepend=0).astype(np.int32)
+    return raster
+
+
+def center_pixel_lut(roi_dim: int, dims: int) -> np.ndarray:
+    """(roi, roi) -> flat input index lookup (-1 = not a sampled pixel)."""
+    rows, cols = center_pixel_indices(roi_dim, dims)
+    lut = np.full((roi_dim, roi_dim), -1, np.int64)
+    for i, r in enumerate(rows):
+        for j, c in enumerate(cols):
+            lut[r, c] = i * dims + j
+    return lut
+
+
 @functools.partial(jax.jit, static_argnames=("steps",))
 def stream_forward_counts(
     qparams: QuantizedParams, counts_in: jnp.ndarray, steps: int
@@ -131,6 +216,62 @@ def frame_source(cfg: LensConfig) -> Tuple[np.ndarray, str]:
     return ds.frames.astype(np.uint32), f"frame replay {query_dir}"
 
 
+def load_raw_events(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(t seconds, x, y) from a recorded stream (.npy rows (t,x,y,pol) or text)."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        return (
+            arr[:, 0].astype(np.float64),
+            arr[:, 1].astype(np.int64),
+            arr[:, 2].astype(np.int64),
+        )
+    t, x, y, _, _ = events_native.parse_text_events(path)
+    return np.asarray(t, np.float64), np.asarray(x, np.int64), np.asarray(y, np.int64)
+
+
+def aer_bin_source(cfg: LensConfig, substeps: int):
+    """Yield (raster (substeps, n_in) int32, roi_frame (roi, roi) uint32) per
+    timebin from a recorded event stream — the event-TIME integration path.
+
+    Events are ROI-cropped (origin (23,0), run_speck.py:268-271), mapped to
+    the center-pixel downsample grid, scattered into the substep their
+    timestamp falls in, and hot-pixel-capped keeping the earliest events.
+    """
+    t, x, y = load_raw_events(cfg.event_file)
+    order = np.argsort(t, kind="stable")
+    t, x, y = t[order], x[order], y[order]
+    roi = cfg.roi_dim
+    xr = x - 23
+    yr = y - 0
+    keep = (xr >= 0) & (xr < roi) & (yr >= 0) & (yr < roi)
+    t, xr, yr = t[keep], xr[keep], yr[keep]
+    if len(t) == 0:
+        return
+    timebin_s = cfg.timebin / 1000.0
+    t0 = t[0]
+    bins = np.floor((t - t0) / timebin_s).astype(np.int64)
+    lut = center_pixel_lut(roi, cfg.dims)
+    cap = events_native.hot_pixel_cap(timebin_s)
+    n_in = cfg.dims * cfg.dims
+    for b in range(int(bins.max()) + 1):
+        sel = bins == b
+        tb, xb, yb = t[sel], xr[sel], yr[sel]
+        roi_frame = np.zeros((roi, roi), np.uint32)
+        np.add.at(roi_frame, (yb, xb), 1)
+        roi_frame = np.minimum(roi_frame, cap).astype(np.uint32)
+        pix = lut[yb, xb]
+        hit = pix >= 0
+        raster = rasterize_bin_events(
+            (tb[hit] - t0 - b * timebin_s).astype(np.float64),
+            pix[hit],
+            timebin_s,
+            substeps,
+            n_in,
+            hot_cap=cap,
+        )
+        yield raster, roi_frame
+
+
 class OnlineMatcher:
     """Rolling sequence matcher (run_speck.py:177-226 semantics, race-free).
 
@@ -195,20 +336,6 @@ def run_event_driven(cfg: LensConfig):
     params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
     qparams = discretize(params, STREAM_THRESHOLDS, cfg.min_v_mem)
 
-    frames, source_desc = frame_source(cfg)
-    logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
-    # The on-chip thresholds (10/2) are tuned for raw DVS stream densities
-    # (~1e5 events/s on the reference hardware, run_speck.py logs); bundled
-    # PNG replays carry ~100x fewer events per bin, so sparse output spikes
-    # there are expected, not a fault.  Feed --event_file with a recorded
-    # stream for representative online behavior.
-    mean_events = float(np.asarray(frames, np.float64).sum() / max(len(frames), 1))
-    if mean_events < 5_000:
-        logger.info(
-            f"note: replay density is low ({mean_events:,.0f} events/bin); "
-            "on-chip thresholds may yield sparse output spikes"
-        )
-
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
     power = PowerMonitor()
@@ -216,13 +343,52 @@ def run_event_driven(cfg: LensConfig):
     # Integration granularity: one step per ms of the bin (chip-like), capped.
     steps = int(min(max(cfg.timebin, 1), 1000))
 
+    if cfg.event_file:
+        # Event-TIME integration: each event lands in the substep its
+        # timestamp falls in (chip semantics, run_speck.py:281-299).
+        bins_iter = aer_bin_source(cfg, steps)
+        logger.info(
+            f"Streaming from event stream {cfg.event_file} "
+            "(event-time integration)"
+        )
+    else:
+        frames, source_desc = frame_source(cfg)
+        logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
+        # The on-chip thresholds (10/2) are tuned for raw DVS stream densities
+        # (~1e5 events/s on the reference hardware, run_speck.py logs); bundled
+        # PNG replays carry ~100x fewer events per bin, so sparse output spikes
+        # there are expected, not a fault.  Feed --event_file with a recorded
+        # stream for representative online behavior.
+        mean_events = float(np.asarray(frames, np.float64).sum() / max(len(frames), 1))
+        if mean_events < 5_000:
+            logger.info(
+                f"note: replay density is low ({mean_events:,.0f} events/bin); "
+                "on-chip thresholds may yield sparse output spikes"
+            )
+
+        def _frame_bins():
+            # No timestamps in a frame replay: spread each pixel's count
+            # evenly over the bin's substeps (deterministic, total-preserving).
+            for frame in frames:
+                down = frame[rows][:, cols].astype(np.int64).reshape(-1)
+                yield even_spread_raster(down, steps), frame.astype(np.uint32)
+
+        bins_iter = _frame_bins()
+
     fan_out_feat = int(np.count_nonzero(np.asarray(qparams.w_feat)) / max(cfg.input, 1))
     fan_out_out = int(np.count_nonzero(np.asarray(qparams.w_out)) / max(cfg.feature, 1))
 
-    for i, frame in enumerate(frames):
+    # Membranes persist across bins: the chip's network runs continuously and
+    # the collection interval only reads out counts (run_speck.py:281-299).
+    v_feat = jnp.zeros((qparams.w_feat.shape[1],), jnp.int32)
+    v_out = jnp.zeros((qparams.w_out.shape[1],), jnp.int32)
+
+    for i, (raster, frame) in enumerate(bins_iter):
         t_bin = time.perf_counter()
-        down = frame[rows][:, cols].astype(np.int32).reshape(1, -1)
-        counts = np.asarray(stream_forward_counts(qparams, jnp.asarray(down), steps))[0]
+        counts_dev, v_feat, v_out = stream_forward_counts_carry(
+            qparams, jnp.asarray(raster), v_feat, v_out
+        )
+        counts = np.asarray(counts_dev)
         n_events = float(frame.sum())
         n_synops = n_events * fan_out_feat + float(counts.sum()) * fan_out_out
         power.record_bin(n_events, n_synops, time.perf_counter() - t_bin)

@@ -9,7 +9,10 @@ from lens_tpu.runtime.speck_sim import discretize
 from lens_tpu.runtime.stream import (
     STREAM_THRESHOLDS,
     OnlineMatcher,
+    even_spread_raster,
+    rasterize_bin_events,
     stream_forward_counts,
+    stream_forward_counts_carry,
 )
 
 
@@ -38,6 +41,81 @@ def test_stream_forward_deterministic(qparams):
     a = np.asarray(stream_forward_counts(qparams, counts_in, steps=10))
     b = np.asarray(stream_forward_counts(qparams, counts_in, steps=10))
     np.testing.assert_array_equal(a, b)
+
+
+def test_even_spread_raster_preserves_totals():
+    counts = np.array([3, 0, 7, 250, 1], np.int64)
+    r = even_spread_raster(counts, 250)
+    assert r.shape == (250, 5)
+    np.testing.assert_array_equal(r.sum(axis=0), counts)
+    # the 250-count pixel fires exactly once per substep
+    np.testing.assert_array_equal(r[:, 3], np.ones(250, np.int32))
+
+
+def test_rasterize_events_matches_even_spread_on_uniform_streams():
+    """A perfectly uniform stream must land in exactly the substeps the
+    even-spread formula picks — the AER path generalizes the even-spread
+    path.  The even-spread formula emits event k at the END of its 1/c
+    interval (the substep where the cumulative floor increments), so uniform
+    events are placed just before their interval boundary."""
+    S, n_in, timebin = 8, 4, 0.2
+    counts = np.array([8, 4, 2, 0], np.int64)  # all divide S
+    eps = 1e-9
+    t_rel, pix = [], []
+    for p, c in enumerate(counts):
+        for k in range(c):
+            t_rel.append(((k + 1) / c - eps) * timebin)
+            pix.append(p)
+    aer = rasterize_bin_events(
+        np.array(t_rel), np.array(pix), timebin, S, n_in, hot_cap=0
+    )
+    np.testing.assert_array_equal(aer, even_spread_raster(counts, S))
+
+
+def test_rasterize_events_hot_cap_keeps_earliest():
+    S, n_in, timebin = 4, 2, 1.0
+    # 6 events on pixel 0 spread over the bin; cap 3 keeps the first 3
+    t_rel = np.array([0.05, 0.3, 0.55, 0.8, 0.85, 0.9])
+    pix = np.zeros(6, np.int64)
+    r = rasterize_bin_events(t_rel, pix, timebin, S, n_in, hot_cap=3)
+    np.testing.assert_array_equal(r[:, 0], [1, 1, 1, 0])
+    assert r[:, 1].sum() == 0
+
+
+def test_carry_forward_equals_concatenated_scan(qparams):
+    """Membrane persistence: streaming two bins through the carry API must
+    equal one scan over the concatenated raster (the chip never resets)."""
+    rng = np.random.default_rng(3)
+    r1 = rng.integers(0, 4, (10, 16)).astype(np.int32)
+    r2 = rng.integers(0, 4, (10, 16)).astype(np.int32)
+    import jax.numpy as jnp
+
+    v2 = jnp.zeros((32,), jnp.int32)
+    v3 = jnp.zeros((8,), jnp.int32)
+    c1, v2, v3 = stream_forward_counts_carry(qparams, jnp.asarray(r1), v2, v3)
+    c2, v2, v3 = stream_forward_counts_carry(qparams, jnp.asarray(r2), v2, v3)
+    both, _, _ = stream_forward_counts_carry(
+        qparams,
+        jnp.asarray(np.concatenate([r1, r2])),
+        jnp.zeros((32,), jnp.int32),
+        jnp.zeros((8,), jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(c1) + np.asarray(c2), np.asarray(both))
+
+
+def test_carry_zero_init_matches_legacy_wrapper(qparams):
+    """The Q=1 legacy even-spread forward and the carry API agree bin-one."""
+    counts = np.array([[3, 0, 7, 1] + [0] * 12], np.int32)
+    legacy = np.asarray(stream_forward_counts(qparams, counts, steps=5))[0]
+    import jax.numpy as jnp
+
+    carry, _, _ = stream_forward_counts_carry(
+        qparams,
+        jnp.asarray(even_spread_raster(counts[0].astype(np.int64), 5)),
+        jnp.zeros((32,), jnp.int32),
+        jnp.zeros((8,), jnp.int32),
+    )
+    np.testing.assert_array_equal(legacy, np.asarray(carry))
 
 
 def test_online_matcher_groups_and_matrix(tmp_path):
