@@ -89,6 +89,8 @@ class LensConfig:
     output_base: str = "./lens/output"
     event_file: str = ""  # event stream file for --event_driven replay
     profile: bool = False  # emit JAX profiler trace + frames/sec report
+    shard_db: bool = False  # force TP-sharding of the place/database axis
+    shard_db_auto_places: int = 65536  # auto-TP when reference_places >= this
 
     # --- derived (filled by __post_init__) ---
     input: int = field(init=False, default=0)
@@ -148,6 +150,8 @@ _HELP = {
     "headless": "Run the streaming mode without visualization",
     "save_input": "Save the input spikes as NumPy arrays",
     "raster_mode": "'torch-parity' (bitwise reference rasters) or 'jax' (native PRNG)",
+    "shard_db": "Shard the reference-place (database) axis across all chips (TP)",
+    "shard_db_auto_places": "Auto-enable --shard_db at this database size",
 }
 
 

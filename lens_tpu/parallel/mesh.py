@@ -82,6 +82,62 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
     return np.asarray(counts)[:q]
 
 
+def tp_sharded_spike_counts(
+    params,
+    intensities,
+    u_thresh,
+    min_v_mem=-1.0,
+    mesh: Optional[Mesh] = None,
+    model_shards: Optional[int] = None,
+):
+    """Tensor-parallel inference over the PLACE (database) axis: w_out's
+    columns and the output-layer membranes shard across 'model', so a
+    reference database too large for one chip's HBM evaluates as one program.
+
+    Layout (no collectives inside the scan — the output layer is
+    column-parallel, each shard owns its places end-to-end):
+        intensities (Q, n_in)   -> P('data', None)
+        w_feat      (n_in, F)   -> replicated
+        w_out       (F, R)      -> P(None, 'model')
+        counts      (Q, R)      -> P('data', 'model'), gathered at the end
+
+    Both Q and R are padded to their mesh-axis multiples and stripped after
+    (zero-intensity queries never spike; zero-weight places count zero).
+    Counts are bit-identical to the single-device scan path: each (q, r)
+    output is produced by the same local dot-product order regardless of
+    which shard owns it.
+    """
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts
+
+    if mesh is None:
+        n = len(jax.devices())
+        model = model_shards or n
+        mesh = make_mesh(data=max(1, n // model))
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    q = intensities.shape[0]
+    r = params.w_out.shape[1]
+    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
+    w_out = pad_to_multiple(np.asarray(params.w_out, np.float32), 1, n_model)
+    thr_out = pad_to_multiple(np.asarray(params.thr_out, np.float32), 0, n_model)
+    with mesh:
+        sharded_params = type(params)(
+            w_feat=replicate(mesh, jnp.asarray(params.w_feat)),
+            w_out=shard_output_axis(mesh, jnp.asarray(w_out), 1),
+            thr_feat=replicate(mesh, jnp.asarray(params.thr_feat)),
+            thr_out=shard_output_axis(mesh, jnp.asarray(thr_out), 0),
+        )
+        counts = forward_counts(
+            sharded_params,
+            shard_queries(mesh, jnp.asarray(intens)),
+            replicate(mesh, jnp.asarray(u_thresh)),
+            min_v_mem=min_v_mem,
+        )
+    return np.asarray(counts)[:q, :r]
+
+
 def pad_to_multiple(arr: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     """Pad an axis up to a device-count multiple so sharding divides evenly."""
     size = arr.shape[axis]

@@ -7,6 +7,12 @@ program: trial states are stacked into a leading axis and `jax.vmap` runs
 every trial's full STDP scan and inference forward simultaneously — the MXU
 sees one big batched GEMM instead of N tiny serial ones.
 
+On a multi-chip slice the TRIAL axis is additionally sharded across the
+mesh's 'data' axis (trial states device_put with P('data'), shared data
+replicated): N trials spread over all chips in the same single program, so
+sweep wall-clock scales with device count.  Trials are padded to a device
+multiple by repeating the last config (padding discarded from results).
+
 Search space matches optimizer.py:63-67: fire_l_feat in linspace(0.1, 0.49,
 16), fire_h_feat in linspace(0.5, 1.0, 16), thr_h_feat in linspace(0.1, 0.5,
 8), objective AUC = trapezoid(Recall@N over N=[1,5,10,15,20,25])
@@ -70,10 +76,24 @@ def run_sweep(
     logger=None,
     output_folder: Optional[str] = None,
     use_wandb: bool = False,
+    shard_trials: Optional[bool] = None,
 ) -> SweepResult:
     log = logger.info if logger else print
     rng = np.random.default_rng(seed)
     trials = sample_search_space(rng, n_trials)
+
+    # Mesh-shard the trial axis when a multi-chip slice is present (default).
+    mesh = None
+    if shard_trials is None:
+        shard_trials = len(jax.devices()) > 1
+    n_padded = n_trials
+    if shard_trials and len(jax.devices()) > 1:
+        from lens_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        n_padded = ((n_trials + n_dev - 1) // n_dev) * n_dev
+        trials = trials + [trials[-1]] * (n_padded - n_trials)
 
     # --- data (shared across trials) -------------------------------------
     ref_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference)
@@ -115,13 +135,34 @@ def run_sweep(
     feat_b = _stack_states(feat_states)
     out_b = _stack_states(out_states)
 
+    if mesh is not None:
+        # Trial axis -> 'data' mesh axis; shared tensors replicated.  XLA
+        # partitions every vmapped program below across the slice.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        trial_sharding = NamedSharding(mesh, P("data"))
+        feat_b = jax.device_put(feat_b, trial_sharding)
+        out_b = jax.device_put(out_b, trial_sharding)
+        repl = NamedSharding(mesh, P())
+        X = jax.device_put(X, repl)
+        idx_all = jax.device_put(idx_all, repl)
+        q_intens = jax.device_put(q_intens, repl)
+        u_thresh = jax.device_put(u_thresh, repl)
+
     # --- batched training: vmap over the trial axis -----------------------
     order_f = make_sample_stream(k_feat_shuf, n, cfg.epoch_feat)
     order_o = make_sample_stream(k_out_shuf, n, cfg.epoch_out)
     total_f = int(cfg.reference_places * cfg.epoch_feat)
     total_o = int(cfg.reference_places * cfg.epoch_out)
 
-    log(f"Sweep: training {n_trials} trials in one vmapped program")
+    log(
+        f"Sweep: training {n_trials} trials in one vmapped program"
+        + (
+            f" (trial axis sharded over {mesh.shape['data']} devices)"
+            if mesh is not None
+            else ""
+        )
+    )
     # Epoch-block chunking (as in train_model.train): shorter scans compile
     # reliably on the remote TPU toolchain and bound per-dispatch latency.
     block = 32 * n
@@ -156,7 +197,8 @@ def run_sweep(
     counts_b = jax.vmap(
         lambda p: forward_counts(p, q_intens, u_thresh, min_v_mem=cfg.min_v_mem)
     )(params_b)
-    counts_b = np.asarray(counts_b)
+    counts_b = np.asarray(counts_b)[:n_trials]  # drop mesh padding
+    trials = trials[:n_trials]
 
     # --- metrics + objective (host; tiny) ---------------------------------
     gt_path = os.path.join(

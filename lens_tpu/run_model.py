@@ -79,7 +79,18 @@ def compute_similarity(
         )
     import jax
 
-    if len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if n_dev > 1 and (cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places):
+        # Database larger than one chip's appetite (or forced via --shard_db):
+        # shard the PLACE axis of w_out across 'model' (TP).  Counts are
+        # bit-identical to the single-device path (column-parallel output
+        # layer, no collectives inside the scan).
+        from lens_tpu.parallel.mesh import tp_sharded_spike_counts
+
+        return tp_sharded_spike_counts(
+            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem
+        ).astype(np.float64)
+    if n_dev > 1:
         # Multi-chip slice: shard the query axis across all devices (DP).
         from lens_tpu.parallel.mesh import sharded_spike_counts
 

@@ -94,6 +94,23 @@ def test_event_driven_mode(tiny_dataset, tiny_model):
     assert matcher is not None
 
 
+def test_shard_db_mode_matches_dp(tiny_dataset, tiny_model):
+    """--shard_db: the TP-sharded database evaluation is reachable from the
+    user surface and produces counts identical to the default path (VERDICT
+    round-1 ask #4)."""
+    import jax
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    base = run_inference(replace(tiny_dataset, matching=True))
+    tp = run_inference(replace(tiny_dataset, matching=True, shard_db=True))
+    np.testing.assert_array_equal(tp.counts, base.counts)
+    assert tp.recall_at_n == base.recall_at_n
+
+
 def test_profile_flag_emits_trace(tiny_dataset, tiny_model):
     from dataclasses import replace
 

@@ -133,3 +133,46 @@ def test_graft_dryrun_runs():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tp_sharded_spike_counts_large_db_bit_exact(mesh):
+    """VERDICT round-1 ask #4: a 2048-place database sharded over the 'model'
+    axis must produce counts IDENTICAL to the single-device path."""
+    from lens_tpu.parallel.mesh import tp_sharded_spike_counts
+
+    rng = np.random.default_rng(7)
+    n_in, n_feat, n_db, n_q, t = 16, 32, 2048, 12, 10
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (n_in, n_feat)).astype(np.float32),
+        rng.normal(0, 0.3, (n_feat, n_db)).astype(np.float32),
+        np.zeros(n_feat, np.float32),
+        np.zeros(n_db, np.float32),
+    )
+    intens = rng.random((n_q, n_in)).astype(np.float32)
+    u = rng.random((t, n_in)).astype(np.float32)
+    single = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    tp = tp_sharded_spike_counts(params, intens, u, mesh=mesh)
+    assert tp.shape == (n_q, n_db)
+    np.testing.assert_array_equal(tp, single)
+
+
+def test_tp_sharded_spike_counts_2d_mesh_and_padding(setup):
+    """Combined DP x TP mesh (4 data x 2 model) with non-multiple Q and R:
+    padding is stripped, counts still exact."""
+    from lens_tpu.parallel.mesh import tp_sharded_spike_counts
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh2 = make_mesh(8, data=4)
+    rng = np.random.default_rng(8)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 37)).astype(np.float32),  # 37 % 2 != 0
+        np.zeros(32, np.float32),
+        np.zeros(37, np.float32),
+    )
+    intens = rng.random((9, 16)).astype(np.float32)  # 9 % 4 != 0
+    u = rng.random((10, 16)).astype(np.float32)
+    single = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
+    tp = tp_sharded_spike_counts(params, intens, u, mesh=mesh2)
+    np.testing.assert_array_equal(tp, single)

