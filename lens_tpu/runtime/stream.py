@@ -339,6 +339,19 @@ def run_event_driven(cfg: LensConfig):
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
     power = PowerMonitor()
+
+    # Live view (samnagui equivalent: activity + power rails + match readout,
+    # speck2f.py:28-75) unless --headless — the flag actually gates it.
+    dashboard = None
+    matcher.dashboard_url = None
+    if not cfg.headless:
+        from lens_tpu.runtime.visualize import LiveDashboard
+
+        dashboard = LiveDashboard()
+        matcher.dashboard_url = dashboard.start(
+            port=int(os.environ.get("LENS_VIZ_PORT", "0"))
+        )
+        logger.info(f"Live dashboard: {matcher.dashboard_url}")
     spike_log: list = []
     # Integration granularity: one step per ms of the bin (chip-like), capped.
     steps = int(min(max(cfg.timebin, 1), 1000))
@@ -407,8 +420,21 @@ def run_event_driven(cfg: LensConfig):
             ev_dir = os.path.join(output_folder, "events")
             os.makedirs(ev_dir, exist_ok=True)
             np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
+        n_matches_before = len(matcher.matches)
         matcher.push(counts)
+        if dashboard is not None:
+            dur = max(time.perf_counter() - t_bin, 1e-9)
+            dashboard.update_bin(
+                i,
+                frame,
+                int(counts.sum()),
+                power.model.rail_powers(n_events / dur, n_synops / dur),
+            )
+            if len(matcher.matches) > n_matches_before:
+                dashboard.add_matches(matcher.matches[n_matches_before:])
 
+    if dashboard is not None:
+        dashboard.stop()
     if spike_log:
         np.save(os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log))
     power.save(os.path.join(output_folder, "power_data.npy"))
