@@ -51,6 +51,7 @@ setup_jax()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from lens_tpu.core.network import forward_counts_from_frames  # noqa: E402
 from lens_tpu.data.dataset import FrameDataset, center_pixel_flat_indices  # noqa: E402
 from lens_tpu.ops.fused_forward import best_forward  # noqa: E402
 from lens_tpu.ops.raster import make_thresholds  # noqa: E402
@@ -60,6 +61,7 @@ BASELINE_FRAMES_PER_SEC = 10_000.0
 BENCH_QUERIES = 1024  # fixed shape => compilation cache hit across runs
 TIMEBIN = 250
 ITERS = 20
+U8_ITERS = 6  # host-uint8 variant: fewer iters (tunnel-bound transfer)
 
 
 def main() -> None:
@@ -114,8 +116,34 @@ def main() -> None:
         assert mid.sum() > 0 and last.sum() > 0
         rates.append(BENCH_QUERIES * ITERS / dt)
 
-    signal.alarm(0)
     frames_per_sec = float(np.median(rates))
+
+    # Secondary: the SURVEY §7 north-star shape — raw uint8 frames shipped
+    # from HOST per iteration (center-pixel select + /255 fuse on device).
+    # Includes host->device transfer, which here crosses the axon tunnel
+    # (orders of magnitude below a real PCIe/ICI link), so it is reported
+    # alongside rather than as the headline per-chip capability.
+    sel_t = tuple(int(i) for i in sel)
+    frames_np = np.tile(
+        np.asarray(ds.frames, np.uint8).reshape(len(ds), -1), (reps, 1)
+    )[:BENCH_QUERIES]
+    host_batches = [np.roll(frames_np, i + 1, axis=0) for i in range(U8_ITERS)]
+    warm_u8 = np.asarray(
+        forward_counts_from_frames(params, jnp.asarray(frames_np), u, sel_t)
+    )
+    assert warm_u8.shape == (BENCH_QUERIES, 100)
+    t0 = time.perf_counter()
+    outs = [
+        forward_counts_from_frames(params, jnp.asarray(b), u, sel_t)
+        for b in host_batches
+    ]
+    mid = np.asarray(outs[U8_ITERS // 2])
+    last = np.asarray(outs[-1])
+    dt_u8 = time.perf_counter() - t0
+    assert mid.sum() > 0 and last.sum() > 0
+    uint8_fps = BENCH_QUERIES * U8_ITERS / dt_u8
+
+    signal.alarm(0)
     backend = jax.default_backend()
     metric = "event_frames_per_sec_per_chip"
     if backend == "cpu":
@@ -127,6 +155,7 @@ def main() -> None:
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+                "uint8_host_frames_per_sec": round(uint8_fps, 1),
             }
         )
     )
