@@ -134,12 +134,23 @@ def forward_counts_quantized_bucketed(
     qparams: QuantizedParams,
     intensities: jnp.ndarray,
     u_thresh: jnp.ndarray,
-    q_bucket: int = 1024,
+    q_bucket: Optional[int] = None,
 ) -> jnp.ndarray:
     """Query-bucketed wrapper: pads Q up to a q_bucket multiple so every
     dataset size reuses one compiled executable (padded zero-intensity rows
-    never spike; see ops/fused_forward.best_forward for the rationale)."""
+    never spike; see ops/fused_forward.best_forward for the rationale).
+
+    Default bucket is backend-aware: 1024 on TPU (one executable for every
+    dataset size; remote compiles are minutes each, padded rows are nearly
+    free on the MXU), but the next power of two >= Q on CPU, where padded
+    rows run the full integer scan for real (Q=100 in a 1024 bucket would be
+    10x wasted CI work; CPU compiles are cheap)."""
     q = intensities.shape[0]
+    if q_bucket is None:
+        if jax.default_backend() == "cpu":
+            q_bucket = 1 << max(5, (q - 1).bit_length())
+        else:
+            q_bucket = 1024
     q_p = ((q + q_bucket - 1) // q_bucket) * q_bucket
     if q_p != q:
         intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
