@@ -138,6 +138,47 @@ def tp_sharded_spike_counts(
     return np.asarray(counts)[:q, :r]
 
 
+def sharded_quantized_counts(
+    qparams,
+    intensities,
+    u_thresh,
+    mesh: Optional[Mesh] = None,
+    shard_places: bool = False,
+):
+    """Multi-chip evaluation for the QUANTIZED chip simulator: queries shard
+    over 'data'; with shard_places=True the integer w_out's place axis also
+    shards over 'model' (same column-parallel argument as the float path —
+    thresholds are per-layer scalars, so only the weight matrix splits).
+    Counts remain bit-exact: integer-valued f32 GEMMs are exact in any
+    partitioning that does not split the reduction axis, and none here does.
+    """
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.speck_sim import forward_counts_quantized
+
+    if mesh is None:
+        # All devices to 'model' when the DB is the thing outgrowing a chip,
+        # otherwise all to 'data' (the throughput axis).
+        mesh = make_mesh(data=1) if shard_places else make_mesh()
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    q = intensities.shape[0]
+    r = qparams.w_out.shape[1]
+    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
+    w_out = pad_to_multiple(np.asarray(qparams.w_out), 1, n_model)
+    with mesh:
+        qp = qparams._replace(
+            w_feat=replicate(mesh, qparams.w_feat),
+            w_out=shard_output_axis(mesh, jnp.asarray(w_out), 1),
+        )
+        counts = forward_counts_quantized(
+            qp,
+            shard_queries(mesh, jnp.asarray(intens)),
+            replicate(mesh, jnp.asarray(u_thresh)),
+        )
+    return np.asarray(counts)[:q, :r]
+
+
 def pad_to_multiple(arr: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     """Pad an axis up to a device-count multiple so sharding divides evenly."""
     size = arr.shape[axis]

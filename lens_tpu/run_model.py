@@ -71,13 +71,24 @@ def compute_similarity(
 ) -> np.ndarray:
     """Dispatch to the quantized, multi-chip, or fused-kernel forward;
     returns (Q, R) counts."""
+    import jax
+
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
+        if len(jax.devices()) > 1:
+            from lens_tpu.parallel.mesh import sharded_quantized_counts
+
+            return sharded_quantized_counts(
+                qp,
+                intensities,
+                u_thresh,
+                shard_places=cfg.shard_db
+                or cfg.reference_places >= cfg.shard_db_auto_places,
+            ).astype(np.float64)
         return np.asarray(
             forward_counts_quantized_bucketed(qp, jnp.asarray(intensities, jnp.float32), u_thresh),
             np.float64,
         )
-    import jax
 
     n_dev = len(jax.devices())
     if n_dev > 1 and (cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places):

@@ -181,31 +181,10 @@ def stream_forward_counts(
     return acc
 
 
-def frames_from_event_file(cfg: LensConfig) -> np.ndarray:
-    """Accumulate a recorded event stream into (F, roi, roi) count frames."""
-    path = cfg.event_file
-    if path.endswith(".npy"):
-        arr = np.load(path)  # (N, 4): t x y pol
-        t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
-    else:
-        t, x, y, _, _ = events_native.parse_text_events(path)
-    # Hot-pixel cap: the shared rate->bin scaling (events_native.hot_pixel_cap
-    # is the single source of truth for the dvs_filter.threshold semantics).
-    return events_native.accumulate_frames(
-        t,
-        x,
-        y,
-        timebin_s=cfg.timebin / 1000.0,  # spike_collection interval is ms
-        roi_origin=(23, 0),  # run_speck.py:268-271
-        roi_size=(cfg.roi_dim, cfg.roi_dim),
-        hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
-    )
-
-
 def frame_source(cfg: LensConfig) -> Tuple[np.ndarray, str]:
-    """(F, roi, roi) frames + description of the source."""
-    if cfg.event_file:
-        return frames_from_event_file(cfg), f"event stream {cfg.event_file}"
+    """(F, roi, roi) query-traverse frames + description of the source.
+    (Recorded event files take the event-time path — aer_bin_source — which
+    preserves per-event timestamps instead of collapsing to frames.)"""
     query_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.query)
     ds = FrameDataset.load(
         os.path.join(cfg.data_dir, cfg.query + ".csv"),

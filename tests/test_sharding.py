@@ -176,3 +176,30 @@ def test_tp_sharded_spike_counts_2d_mesh_and_padding(setup):
     single = np.asarray(forward_counts(params, jnp.asarray(intens), jnp.asarray(u)))
     tp = tp_sharded_spike_counts(params, intens, u, mesh=mesh2)
     np.testing.assert_array_equal(tp, single)
+
+
+def test_quantized_sharded_counts_bit_exact(mesh):
+    """Quantized chip-sim counts under DP and DPxTP sharding equal the
+    single-device integer scan exactly (the mode's whole point is
+    bit-reproducibility — sharding must not break it)."""
+    from lens_tpu.parallel.mesh import sharded_quantized_counts
+    from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized
+
+    rng = np.random.default_rng(3)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 21)).astype(np.float32),  # 21: padding on TP
+        np.zeros(32, np.float32),
+        np.zeros(21, np.float32),
+    )
+    qp = discretize(params)
+    intens = rng.random((11, 16)).astype(np.float32)  # 11: padding on DP
+    u = rng.random((15, 16)).astype(np.float32)
+    single = np.asarray(
+        forward_counts_quantized(qp, jnp.asarray(intens), jnp.asarray(u))
+    )
+    dp = sharded_quantized_counts(qp, intens, u, mesh=mesh)
+    np.testing.assert_array_equal(dp, single)
+    mesh2 = make_mesh(8, data=2)
+    tp = sharded_quantized_counts(qp, intens, u, mesh=mesh2, shard_places=True)
+    np.testing.assert_array_equal(tp, single)
