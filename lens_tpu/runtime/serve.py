@@ -16,6 +16,19 @@ Protocol (HTTP, stdlib-only server — no framework dependency):
                                        "counts": [[...spike counts...]],
                                        "latency_ms": ...}
 
+Stateful ONLINE sessions (the chip's continuous-network semantics — the
+quantized network's membranes persist across a client's timebins, exactly as
+runtime/stream.py models the Speck):
+
+  POST /stream/open      -> {"session": id}; JSON body optional:
+                            {"thresholds": "chip" | "unit"} (default chip,
+                            the 10/2 on-chip regime of run_speck.py:143-144)
+  POST /stream/bin       -> X-Session header + raw uint8 (roi, roi) frame;
+                            response: {"bin": n, "counts": [...],
+                                       "top_place": int, "latency_ms": ...}
+  POST /stream/close     -> X-Session header; response: {"closed": true,
+                            "bins": n}
+
 The device program is compiled once at startup (fixed shapes via the query
 bucketing of ops/fused_forward.best_forward); each request is one dispatch.
 """
@@ -45,6 +58,8 @@ class ModelHost:
         self._lock = threading.Lock()  # one dispatch at a time per device
         self.latencies_ms: List[float] = []
         self.requests = 0
+        self._sessions: dict = {}
+        self._session_seq = 0
         # Warm-up compile so the first request pays no compilation latency.
         warm = np.zeros((1, cfg.input), np.float32)
         self.model.spike_counts(warm)
@@ -68,6 +83,67 @@ class ModelHost:
             "counts": counts.astype(int).tolist(),
             "latency_ms": round(latency, 3),
         }
+
+    # -- stateful online streaming sessions ---------------------------------
+    def stream_open(self, thresholds: str = "chip") -> dict:
+        """New online session: quantized network + fresh membranes that
+        persist across this session's bins (chip semantics)."""
+        import jax.numpy as jnp
+
+        from lens_tpu.core.network import SpikeThresholds
+        from lens_tpu.runtime.speck_sim import discretize
+        from lens_tpu.runtime.stream import STREAM_THRESHOLDS
+
+        thr = STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
+        qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
+        with self._lock:
+            self._session_seq += 1
+            sid = f"s{self._session_seq}"
+            self._sessions[sid] = {
+                "qp": qp,
+                "v_feat": jnp.zeros((qp.w_feat.shape[1],), jnp.int32),
+                "v_out": jnp.zeros((qp.w_out.shape[1],), jnp.int32),
+                "bins": 0,
+                "thresholds": thresholds,
+            }
+        return {"session": sid, "thresholds": thresholds}
+
+    def stream_bin(self, sid: str, frame_u8: np.ndarray) -> dict:
+        import jax.numpy as jnp
+
+        from lens_tpu.data.dataset import center_pixel_indices
+        from lens_tpu.runtime.stream import (
+            even_spread_raster,
+            stream_forward_counts_carry,
+        )
+
+        sess = self._sessions.get(sid)
+        if sess is None:
+            raise KeyError(f"unknown session {sid}")
+        rows, cols = center_pixel_indices(self.cfg.roi_dim, self.cfg.dims)
+        down = frame_u8[rows][:, cols].astype(np.int64).reshape(-1)
+        steps = int(min(max(self.cfg.timebin, 1), 1000))
+        raster = even_spread_raster(down, steps)
+        t0 = time.perf_counter()
+        with self._lock:
+            counts, sess["v_feat"], sess["v_out"] = stream_forward_counts_carry(
+                sess["qp"], jnp.asarray(raster), sess["v_feat"], sess["v_out"]
+            )
+            counts = np.asarray(counts)
+        sess["bins"] += 1
+        return {
+            "session": sid,
+            "bin": sess["bins"] - 1,
+            "counts": counts.astype(int).tolist(),
+            "top_place": int(counts.argmax()),
+            "latency_ms": round((time.perf_counter() - t0) * 1000.0, 3),
+        }
+
+    def stream_close(self, sid: str) -> dict:
+        sess = self._sessions.pop(sid, None)
+        if sess is None:
+            raise KeyError(f"unknown session {sid}")
+        return {"closed": True, "bins": sess["bins"]}
 
     def stats(self) -> dict:
         lat = np.asarray(self.latencies_ms)
@@ -114,26 +190,44 @@ def _make_handler(host: ModelHost):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/match":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length)
-                n = int(self.headers.get("X-Frame-Count", 1))
-                roi = int(self.headers.get("X-Roi-Dim", host.cfg.roi_dim))
-                expected = n * roi * roi
-                if length != expected:
-                    self._send(
-                        400,
-                        {
-                            "error": f"expected {expected} bytes for "
-                            f"{n} frames of {roi}x{roi}, got {length}"
-                        },
-                    )
-                    return
-                frames = np.frombuffer(raw, np.uint8).reshape(n, roi, roi)
-                self._send(200, host.match(frames))
+                if self.path == "/match":
+                    n = int(self.headers.get("X-Frame-Count", 1))
+                    roi = int(self.headers.get("X-Roi-Dim", host.cfg.roi_dim))
+                    expected = n * roi * roi
+                    if length != expected:
+                        self._send(
+                            400,
+                            {
+                                "error": f"expected {expected} bytes for "
+                                f"{n} frames of {roi}x{roi}, got {length}"
+                            },
+                        )
+                        return
+                    frames = np.frombuffer(raw, np.uint8).reshape(n, roi, roi)
+                    self._send(200, host.match(frames))
+                elif self.path == "/stream/open":
+                    opts = json.loads(raw) if raw else {}
+                    self._send(200, host.stream_open(opts.get("thresholds", "chip")))
+                elif self.path == "/stream/bin":
+                    sid = self.headers.get("X-Session", "")
+                    roi = host.cfg.roi_dim
+                    if length != roi * roi:
+                        self._send(
+                            400,
+                            {"error": f"expected {roi * roi} bytes, got {length}"},
+                        )
+                        return
+                    frame = np.frombuffer(raw, np.uint8).reshape(roi, roi)
+                    self._send(200, host.stream_bin(sid, frame))
+                elif self.path == "/stream/close":
+                    self._send(200, host.stream_close(self.headers.get("X-Session", "")))
+                else:
+                    self._send(404, {"error": "unknown path"})
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - surface to the client
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -69,3 +69,65 @@ def test_match_size_validation(server, tiny_dataset_cfg):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req)
     assert exc.value.code == 400
+
+
+def _post(port, path, body=b"", headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, headers=headers or {}
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_stream_session_carries_membranes(server, tiny_dataset_cfg):
+    """The /stream API is STATEFUL: membranes persist across a session's
+    bins (chip semantics).  Two bins through a session must equal the
+    direct carry computation, and a fresh session must differ from a
+    carried second bin whenever the carry matters."""
+    _, host, port = server
+    cfg = tiny_dataset_cfg
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 255, (cfg.roi_dim, cfg.roi_dim)).astype(np.uint8)
+
+    s = _post(port, "/stream/open", json.dumps({"thresholds": "unit"}).encode())
+    sid = s["session"]
+    r1 = _post(port, "/stream/bin", frame.tobytes(), {"X-Session": sid})
+    r2 = _post(port, "/stream/bin", frame.tobytes(), {"X-Session": sid})
+    assert r1["bin"] == 0 and r2["bin"] == 1
+    assert len(r1["counts"]) == cfg.output
+
+    # Direct computation with the same qparams + carry must agree exactly.
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import SpikeThresholds
+    from lens_tpu.data.dataset import center_pixel_indices
+    from lens_tpu.runtime.speck_sim import discretize
+    from lens_tpu.runtime.stream import (
+        even_spread_raster,
+        stream_forward_counts_carry,
+    )
+
+    qp = discretize(host.model.params, SpikeThresholds(), cfg.min_v_mem)
+    rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
+    down = frame[rows][:, cols].astype(np.int64).reshape(-1)
+    raster = jnp.asarray(even_spread_raster(down, int(min(max(cfg.timebin, 1), 1000))))
+    v2 = jnp.zeros((qp.w_feat.shape[1],), jnp.int32)
+    v3 = jnp.zeros((qp.w_out.shape[1],), jnp.int32)
+    c1, v2, v3 = stream_forward_counts_carry(qp, raster, v2, v3)
+    c2, v2, v3 = stream_forward_counts_carry(qp, raster, v2, v3)
+    assert r1["counts"] == np.asarray(c1).astype(int).tolist()
+    assert r2["counts"] == np.asarray(c2).astype(int).tolist()
+
+    out = _post(port, "/stream/close", headers={"X-Session": sid})
+    assert out == {"closed": True, "bins": 2}
+    # Closed session is gone.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/stream/bin", frame.tobytes(), {"X-Session": sid})
+    assert e.value.code == 404
+
+
+def test_stream_open_default_is_chip_thresholds(server):
+    _, _, port = server
+    s = _post(port, "/stream/open")
+    assert s["thresholds"] == "chip"
+    _post(port, "/stream/close", headers={"X-Session": s["session"]})
