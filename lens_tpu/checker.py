@@ -16,6 +16,11 @@ def check_args(cfg: LensConfig) -> None:
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
 
+    if cfg.event_file:
+        assert os.path.exists(cfg.event_file), (
+            f"Event file does not exist: {cfg.event_file}"
+        )
+
     if cfg.collect_data:
         # Collection CREATES datasets, so (deliberate fix of a reference
         # quirk — checker.py:9 demands an existing reference dir even here)

@@ -68,3 +68,13 @@ def test_vpr_metrics_edge_cases():
     GT2[0, 0] = 1
     P, R, _ = create_pr(np.random.default_rng(0).random((3, 3)), GT2)
     assert np.isfinite(P).all() and np.isfinite(R).all()
+
+
+def test_missing_event_file_rejected(tiny_dataset_cfg):
+    from dataclasses import replace
+
+    from lens_tpu import checker
+
+    cfg = replace(tiny_dataset_cfg, event_driven=True, event_file="/no/such/stream.npy")
+    with pytest.raises(AssertionError, match="Event file does not exist"):
+        checker.check_args(cfg)

@@ -152,3 +152,24 @@ def test_online_matcher_cumulative_rows(tmp_path):
         m.push(np.array([1, 0, 0, 0]))
     assert len(m._rows) == 2
     np.testing.assert_array_equal(m._rows[1], [5, 0, 0, 0])
+
+
+def test_rasterize_events_fuzz_totals_and_cap():
+    """Property fuzz: for random streams, (a) uncapped AER rasters preserve
+    every event, (b) capped rasters equal min(count, cap) per pixel, and
+    (c) per-substep values are nonnegative."""
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n = int(rng.integers(0, 500))
+        n_in = int(rng.integers(1, 30))
+        S = int(rng.integers(1, 40))
+        timebin = float(rng.uniform(0.01, 2.0))
+        t_rel = rng.uniform(0, timebin, n)
+        pix = rng.integers(0, n_in, n)
+        r = rasterize_bin_events(t_rel, pix, timebin, S, n_in, hot_cap=0)
+        totals = np.bincount(pix, minlength=n_in)
+        np.testing.assert_array_equal(r.sum(axis=0), totals)
+        cap = int(rng.integers(1, 10))
+        rc = rasterize_bin_events(t_rel, pix, timebin, S, n_in, hot_cap=cap)
+        np.testing.assert_array_equal(rc.sum(axis=0), np.minimum(totals, cap))
+        assert (rc >= 0).all() and (r >= 0).all()
