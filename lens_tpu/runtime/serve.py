@@ -60,6 +60,8 @@ class ModelHost:
         self.requests = 0
         self._sessions: dict = {}
         self._session_seq = 0
+        self.max_sessions = 64  # bound host memory: evict the stalest session
+        self._px_rows = self._px_cols = None  # lazy center-pixel index cache
         # Warm-up compile so the first request pays no compilation latency.
         warm = np.zeros((1, cfg.input), np.float32)
         self.model.spike_counts(warm)
@@ -97,6 +99,14 @@ class ModelHost:
         thr = STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
         qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
         with self._lock:
+            # Bounded session table: a client that never closes cannot grow
+            # host memory without bound — the least-recently-used session is
+            # evicted (each holds a quantized weight copy + membranes).
+            if len(self._sessions) >= self.max_sessions:
+                stalest = min(
+                    self._sessions, key=lambda k: self._sessions[k]["last_used"]
+                )
+                del self._sessions[stalest]
             self._session_seq += 1
             sid = f"s{self._session_seq}"
             self._sessions[sid] = {
@@ -105,6 +115,7 @@ class ModelHost:
                 "v_out": jnp.zeros((qp.w_out.shape[1],), jnp.int32),
                 "bins": 0,
                 "thresholds": thresholds,
+                "last_used": time.monotonic(),
             }
         return {"session": sid, "thresholds": thresholds}
 
@@ -117,30 +128,40 @@ class ModelHost:
             stream_forward_counts_carry,
         )
 
-        sess = self._sessions.get(sid)
-        if sess is None:
-            raise KeyError(f"unknown session {sid}")
-        rows, cols = center_pixel_indices(self.cfg.roi_dim, self.cfg.dims)
-        down = frame_u8[rows][:, cols].astype(np.int64).reshape(-1)
+        if self._px_rows is None:
+            self._px_rows, self._px_cols = center_pixel_indices(
+                self.cfg.roi_dim, self.cfg.dims
+            )
+        down = (
+            frame_u8[self._px_rows][:, self._px_cols].astype(np.int64).reshape(-1)
+        )
         steps = int(min(max(self.cfg.timebin, 1), 1000))
         raster = even_spread_raster(down, steps)
         t0 = time.perf_counter()
         with self._lock:
-            counts, sess["v_feat"], sess["v_out"] = stream_forward_counts_carry(
+            sess = self._sessions.get(sid)
+            if sess is None:
+                raise KeyError(f"unknown session {sid}")
+            counts, sess["v_feat"], sess["v_out"], _ = stream_forward_counts_carry(
                 sess["qp"], jnp.asarray(raster), sess["v_feat"], sess["v_out"]
             )
             counts = np.asarray(counts)
-        sess["bins"] += 1
+            # Bin numbering under the same lock as the membrane update, so a
+            # response's index always matches its carry position.
+            bin_idx = sess["bins"]
+            sess["bins"] += 1
+            sess["last_used"] = time.monotonic()
         return {
             "session": sid,
-            "bin": sess["bins"] - 1,
+            "bin": bin_idx,
             "counts": counts.astype(int).tolist(),
             "top_place": int(counts.argmax()),
             "latency_ms": round((time.perf_counter() - t0) * 1000.0, 3),
         }
 
     def stream_close(self, sid: str) -> dict:
-        sess = self._sessions.pop(sid, None)
+        with self._lock:
+            sess = self._sessions.pop(sid, None)
         if sess is None:
             raise KeyError(f"unknown session {sid}")
         return {"closed": True, "bins": sess["bins"]}

@@ -62,7 +62,7 @@ def stream_forward_counts_carry(
     raster: jnp.ndarray,  # (S, n_in) int32 — per-substep input spike counts
     v_feat: jnp.ndarray,  # (n_feat,) int32 membrane carry
     v_out: jnp.ndarray,  # (n_out,) int32 membrane carry
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One bin of quantized streaming forward with PERSISTENT membranes.
 
     The chip never resets membranes between spike-collection intervals (the
@@ -72,13 +72,15 @@ def stream_forward_counts_carry(
     built either by even spreading (frame replay, no timestamps) or by
     event-time rasterization (AER path, rasterize_bin_events).
 
-    Returns (output spike counts (n_out,), new v_feat, new v_out).
+    Returns (output spike counts (n_out,), new v_feat, new v_out,
+    total feature-layer spikes () — the second layer's synop driver for the
+    power model: synops = input spikes x fan-out per layer, power.py).
     """
     wf = qparams.w_feat.astype(jnp.float32)
     wo = qparams.w_out.astype(jnp.float32)
 
     def step(carry, x_t):
-        v2, v3, acc = carry
+        v2, v3, acc, feat_total = carry
         h = jnp.dot(
             x_t.astype(jnp.float32), wf, preferred_element_type=jnp.float32
         ).astype(jnp.int32)
@@ -87,11 +89,11 @@ def stream_forward_counts_carry(
             s2.astype(jnp.float32), wo, preferred_element_type=jnp.float32
         ).astype(jnp.int32)
         v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
-        return (v2, v3, acc + s3), None
+        return (v2, v3, acc + s3, feat_total + s2.sum()), None
 
-    init = (v_feat, v_out, jnp.zeros_like(v_out))
-    (v2, v3, acc), _ = jax.lax.scan(step, init, raster)
-    return acc, v2, v3
+    init = (v_feat, v_out, jnp.zeros_like(v_out), jnp.int32(0))
+    (v2, v3, acc, feat_total), _ = jax.lax.scan(step, init, raster)
+    return acc, v2, v3, feat_total
 
 
 def even_spread_raster(counts: np.ndarray, steps: int) -> np.ndarray:
@@ -232,9 +234,13 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     lut = center_pixel_lut(roi, cfg.dims)
     cap = events_native.hot_pixel_cap(timebin_s)
     n_in = cfg.dims * cfg.dims
-    for b in range(int(bins.max()) + 1):
-        sel = bins == b
-        tb, xb, yb = t[sel], xr[sel], yr[sel]
+    n_bins = int(bins.max()) + 1
+    # Events are time-sorted, so per-bin slices come from one searchsorted
+    # pass — O(n_events + n_bins), not a full-array rescan per bin.
+    bounds = np.searchsorted(bins, np.arange(n_bins + 1))
+    for b in range(n_bins):
+        lo, hi = bounds[b], bounds[b + 1]
+        tb, xb, yb = t[lo:hi], xr[lo:hi], yr[lo:hi]
         roi_frame = np.zeros((roi, roi), np.uint32)
         np.add.at(roi_frame, (yb, xb), 1)
         roi_frame = np.minimum(roi_frame, cap).astype(np.uint32)
@@ -375,48 +381,59 @@ def run_event_driven(cfg: LensConfig):
     v_feat = jnp.zeros((qparams.w_feat.shape[1],), jnp.int32)
     v_out = jnp.zeros((qparams.w_out.shape[1],), jnp.int32)
 
-    for i, (raster, frame) in enumerate(bins_iter):
-        t_bin = time.perf_counter()
-        counts_dev, v_feat, v_out = stream_forward_counts_carry(
-            qparams, jnp.asarray(raster), v_feat, v_out
-        )
-        counts = np.asarray(counts_dev)
-        n_events = float(frame.sum())
-        n_synops = n_events * fan_out_feat + float(counts.sum()) * fan_out_out
-        power.record_bin(n_events, n_synops, time.perf_counter() - t_bin)
+    # try/finally: a Ctrl-C or device error mid-stream must still leave the
+    # artifacts current (the per-bin save this flush schedule replaced was
+    # implicitly crash-durable) and release the dashboard port.
+    try:
+        for i, (raster, frame) in enumerate(bins_iter):
+            t_bin = time.perf_counter()
+            counts_dev, v_feat, v_out, feat_spikes = stream_forward_counts_carry(
+                qparams, jnp.asarray(raster), v_feat, v_out
+            )
+            counts = np.asarray(counts_dev)
+            dur = max(time.perf_counter() - t_bin, 1e-9)
+            n_events = float(frame.sum())
+            # synops = input spikes x fan-out per layer (power.py): layer 2's
+            # driver is the FEATURE spikes it consumes, not the output spikes.
+            n_synops = n_events * fan_out_feat + float(feat_spikes) * fan_out_out
+            power.record_bin(n_events, n_synops, dur)
 
-        logger.info(
-            f"Collected {int(counts.sum())} output spikes at time {time.time()}"
-        )  # run_speck.py:167 cadence log
-        spike_log.append(counts)
-        # Flush periodically, not per bin: rewriting the whole array every bin
-        # makes artifact IO quadratic in stream length (round-1 weak spot).
-        if (i + 1) % SPIKE_FLUSH_BINS == 0:
+            logger.info(
+                f"Collected {int(counts.sum())} output spikes at time {time.time()}"
+            )  # run_speck.py:167 cadence log
+            spike_log.append(counts)
+            # Flush periodically, not per bin: rewriting the whole array every
+            # bin makes artifact IO quadratic in stream length.
+            if (i + 1) % SPIKE_FLUSH_BINS == 0:
+                np.save(
+                    os.path.join(output_folder, "spike_data.npy"),
+                    np.stack(spike_log),
+                )  # run_speck.py:171-172
+            if cfg.save_input:
+                ev_dir = os.path.join(output_folder, "events")
+                os.makedirs(ev_dir, exist_ok=True)
+                np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
+            n_matches_before = len(matcher.matches)
+            matcher.push(counts)
+            if dashboard is not None:
+                # Same duration record_bin used, so the live rails and the
+                # persisted power_data.npy agree bin-for-bin.
+                dashboard.update_bin(
+                    i,
+                    frame,
+                    int(counts.sum()),
+                    power.model.rail_powers(n_events / dur, n_synops / dur),
+                )
+                if len(matcher.matches) > n_matches_before:
+                    dashboard.add_matches(matcher.matches[n_matches_before:])
+    finally:
+        if dashboard is not None:
+            dashboard.stop()
+        if spike_log:
             np.save(
                 os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log)
-            )  # run_speck.py:171-172
-        if cfg.save_input:
-            ev_dir = os.path.join(output_folder, "events")
-            os.makedirs(ev_dir, exist_ok=True)
-            np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
-        n_matches_before = len(matcher.matches)
-        matcher.push(counts)
-        if dashboard is not None:
-            dur = max(time.perf_counter() - t_bin, 1e-9)
-            dashboard.update_bin(
-                i,
-                frame,
-                int(counts.sum()),
-                power.model.rail_powers(n_events / dur, n_synops / dur),
             )
-            if len(matcher.matches) > n_matches_before:
-                dashboard.add_matches(matcher.matches[n_matches_before:])
-
-    if dashboard is not None:
-        dashboard.stop()
-    if spike_log:
-        np.save(os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log))
-    power.save(os.path.join(output_folder, "power_data.npy"))
+        power.save(os.path.join(output_folder, "power_data.npy"))
     logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")
     logger.info("")
     logger.info("Successfully completed inferencing using LENS")

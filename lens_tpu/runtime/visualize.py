@@ -87,7 +87,10 @@ class LiveDashboard:
 
     def __init__(self, history: int = 200, match_window: int = 50):
         self._lock = threading.Lock()
-        self._frame_png: Optional[str] = None
+        self._frame: Optional[np.ndarray] = None  # raw; encoded lazily
+        self._frame_png: Optional[str] = None  # cache, keyed by _frame_bin
+        self._frame_bin = -1
+        self._png_bin = -1
         self._rails = {r: deque(maxlen=history) for r in RAILS}
         self._matches: deque = deque(maxlen=match_window)
         self._match_count = 0
@@ -105,10 +108,12 @@ class LiveDashboard:
         out_spikes: int,
         rails_w: dict,
     ) -> None:
-        png = self._encode_frame(frame)
+        # Store the raw frame only; PNG encoding happens lazily in state()
+        # so the streaming hot loop pays nothing when no browser is polling.
         with self._lock:
             self._bin = bin_idx
-            self._frame_png = png
+            self._frame = np.asarray(frame)
+            self._frame_bin = bin_idx
             self._bin_spikes = int(out_spikes)
             self._total_spikes += int(out_spikes)
             for r in RAILS:
@@ -134,6 +139,9 @@ class LiveDashboard:
     # -- consumers (HTTP) ---------------------------------------------------
     def state(self) -> dict:
         with self._lock:
+            if self._frame is not None and self._png_bin != self._frame_bin:
+                self._frame_png = self._encode_frame(self._frame)
+                self._png_bin = self._frame_bin
             return {
                 "bin": self._bin,
                 "bin_spikes": self._bin_spikes,

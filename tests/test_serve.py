@@ -113,8 +113,8 @@ def test_stream_session_carries_membranes(server, tiny_dataset_cfg):
     raster = jnp.asarray(even_spread_raster(down, int(min(max(cfg.timebin, 1), 1000))))
     v2 = jnp.zeros((qp.w_feat.shape[1],), jnp.int32)
     v3 = jnp.zeros((qp.w_out.shape[1],), jnp.int32)
-    c1, v2, v3 = stream_forward_counts_carry(qp, raster, v2, v3)
-    c2, v2, v3 = stream_forward_counts_carry(qp, raster, v2, v3)
+    c1, v2, v3, _ = stream_forward_counts_carry(qp, raster, v2, v3)
+    c2, v2, v3, _ = stream_forward_counts_carry(qp, raster, v2, v3)
     assert r1["counts"] == np.asarray(c1).astype(int).tolist()
     assert r2["counts"] == np.asarray(c2).astype(int).tolist()
 
@@ -131,3 +131,17 @@ def test_stream_open_default_is_chip_thresholds(server):
     s = _post(port, "/stream/open")
     assert s["thresholds"] == "chip"
     _post(port, "/stream/close", headers={"X-Session": s["session"]})
+
+
+def test_stream_session_table_is_bounded(server):
+    """Opening sessions without closing must evict the stalest instead of
+    growing host memory without bound."""
+    _, host, port = server
+    host.max_sessions = 4
+    sids = [_post(port, "/stream/open")["session"] for _ in range(6)]
+    assert len(host._sessions) == 4
+    # The two stalest (first-opened, never used) sessions were evicted.
+    assert sids[0] not in host._sessions and sids[1] not in host._sessions
+    assert sids[-1] in host._sessions
+    for sid in sids[2:]:
+        _post(port, "/stream/close", headers={"X-Session": sid})

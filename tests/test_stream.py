@@ -92,9 +92,9 @@ def test_carry_forward_equals_concatenated_scan(qparams):
 
     v2 = jnp.zeros((32,), jnp.int32)
     v3 = jnp.zeros((8,), jnp.int32)
-    c1, v2, v3 = stream_forward_counts_carry(qparams, jnp.asarray(r1), v2, v3)
-    c2, v2, v3 = stream_forward_counts_carry(qparams, jnp.asarray(r2), v2, v3)
-    both, _, _ = stream_forward_counts_carry(
+    c1, v2, v3, _ = stream_forward_counts_carry(qparams, jnp.asarray(r1), v2, v3)
+    c2, v2, v3, _ = stream_forward_counts_carry(qparams, jnp.asarray(r2), v2, v3)
+    both, _, _, _ = stream_forward_counts_carry(
         qparams,
         jnp.asarray(np.concatenate([r1, r2])),
         jnp.zeros((32,), jnp.int32),
@@ -109,7 +109,7 @@ def test_carry_zero_init_matches_legacy_wrapper(qparams):
     legacy = np.asarray(stream_forward_counts(qparams, counts, steps=5))[0]
     import jax.numpy as jnp
 
-    carry, _, _ = stream_forward_counts_carry(
+    carry, _, _, _ = stream_forward_counts_carry(
         qparams,
         jnp.asarray(even_spread_raster(counts[0].astype(np.int64), 5)),
         jnp.zeros((32,), jnp.int32),
