@@ -16,7 +16,7 @@ def check_args(cfg: LensConfig) -> None:
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
 
-    if cfg.event_file:
+    if cfg.event_file and cfg.event_file != "-":  # "-" = live stdin feed
         assert os.path.exists(cfg.event_file), (
             f"Event file does not exist: {cfg.event_file}"
         )

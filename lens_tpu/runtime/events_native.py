@@ -70,6 +70,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.lens_stream_open.restype = ctypes.c_void_p
+    lib.lens_stream_open.argtypes = [
+        ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.lens_stream_feed.restype = None
+    lib.lens_stream_feed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), u16p, u16p,
+        ctypes.c_int64,
+    ]
+    lib.lens_stream_flush.restype = None
+    lib.lens_stream_flush.argtypes = [ctypes.c_void_p]
+    lib.lens_stream_pending.restype = ctypes.c_int64
+    lib.lens_stream_pending.argtypes = [ctypes.c_void_p]
+    lib.lens_stream_poll.restype = ctypes.c_int
+    lib.lens_stream_poll.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.lens_stream_close.restype = None
+    lib.lens_stream_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -296,3 +318,133 @@ def parse_text_events(path: str):
         arr[:, 3].astype(np.uint8),
         (width, height),
     )
+
+
+class StreamSession:
+    """Live AER ingest session — the samna event-graph role as a first-party
+    runtime primitive: a producer feeds time-ordered events as they arrive
+    (any thread); the consumer polls complete timebins, each an ROI count
+    frame + event-time substep raster over the network's input pixels.
+
+    Bin/substep/cap semantics are bit-identical to the offline batch path
+    (runtime/stream.py aer_bin_source); the C++ engine backs it when the
+    toolchain is available, with a bit-identical numpy fallback otherwise.
+    """
+
+    def __init__(
+        self,
+        timebin_s: float,
+        lut: np.ndarray,  # (roi_h, roi_w) int32: input index or -1
+        substeps: int,
+        roi_origin: Tuple[int, int] = (23, 0),
+        hot_cap: Optional[int] = None,
+        n_in: Optional[int] = None,
+        use_native: bool = True,
+    ):
+        self.timebin_s = float(timebin_s)
+        self.roi_x, self.roi_y = roi_origin
+        self.roi_h, self.roi_w = lut.shape
+        self.substeps = int(substeps)
+        self.n_in = int(n_in if n_in is not None else lut.max() + 1)
+        self.hot_cap = hot_pixel_cap(timebin_s) if hot_cap is None else int(hot_cap)
+        self._lut = np.ascontiguousarray(lut, np.int32)
+        self._lib = get_lib() if use_native else None
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.lens_stream_open(
+                self.timebin_s, self.roi_x, self.roi_y, self.roi_w, self.roi_h,
+                self.hot_cap, self.substeps,
+                self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self.n_in,
+            )
+        else:  # numpy fallback state (same transitions as the C++ struct)
+            self._t0 = -1.0
+            self._cur_bin = 0
+            self._any = False
+            self._frame = np.zeros((self.roi_h, self.roi_w), np.uint32)
+            self._raster = np.zeros((self.substeps, self.n_in), np.int32)
+            self._ready: list = []
+
+    # -- producer side -------------------------------------------------------
+    def feed(self, t: np.ndarray, x: np.ndarray, y: np.ndarray) -> None:
+        t = _as(t, np.float64)
+        x = _as(x, np.uint16)
+        y = _as(y, np.uint16)
+        if self._handle is not None:
+            self._lib.lens_stream_feed(
+                self._handle,
+                t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                len(t),
+            )
+            return
+        for i in range(len(t)):
+            xr = int(x[i]) - self.roi_x
+            yr = int(y[i]) - self.roi_y
+            if not (0 <= xr < self.roi_w and 0 <= yr < self.roi_h):
+                continue
+            if self._t0 < 0:
+                self._t0 = float(t[i])
+            self._any = True
+            b = int(np.floor((t[i] - self._t0) / self.timebin_s))
+            if b < self._cur_bin:
+                continue
+            while self._cur_bin < b:
+                self._close_bin()
+            self._frame[yr, xr] += 1
+            pix = int(self._lut[yr, xr])
+            if pix >= 0:
+                t_rel = float(t[i]) - self._t0 - b * self.timebin_s
+                s = min(max(int(t_rel / self.timebin_s * self.substeps), 0),
+                        self.substeps - 1)
+                self._raster[s, pix] += 1
+
+    def flush(self) -> None:
+        """Close the current (partial) bin — call at end of stream."""
+        if self._handle is not None:
+            self._lib.lens_stream_flush(self._handle)
+        elif self._any:
+            self._close_bin()
+
+    # -- consumer side -------------------------------------------------------
+    def pending(self) -> int:
+        if self._handle is not None:
+            return int(self._lib.lens_stream_pending(self._handle))
+        return len(self._ready)
+
+    def poll(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(frame (roi_h, roi_w) uint32, raster (substeps, n_in) int32) for
+        the next complete bin, or None if no bin is ready yet."""
+        if self._handle is not None:
+            frame = np.zeros((self.roi_h, self.roi_w), np.uint32)
+            raster = np.zeros((self.substeps, self.n_in), np.int32)
+            got = self._lib.lens_stream_poll(
+                self._handle,
+                frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                raster.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return (frame, raster) if got else None
+        if not self._ready:
+            return None
+        return self._ready.pop(0)
+
+    def _close_bin(self) -> None:
+        frame = np.minimum(self._frame, self.hot_cap).astype(np.uint32)
+        cum = np.minimum(np.cumsum(self._raster, axis=0), self.hot_cap)
+        raster = np.diff(cum, axis=0, prepend=0).astype(np.int32)
+        self._ready.append((frame, raster))
+        self._frame[:] = 0
+        self._raster[:] = 0
+        self._cur_bin += 1
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.lens_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -210,6 +210,59 @@ def load_raw_events(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.asarray(t, np.float64), np.asarray(x, np.int64), np.asarray(y, np.int64)
 
 
+def live_aer_bin_source(cfg: LensConfig, line_source):
+    """Yield (raster, roi_frame) bins from a LIVE text event feed (e.g. stdin
+    via `--event_file -`): lines of "t x y [pol]" are fed incrementally into
+    the native ingest session (events_native.StreamSession — the samna
+    source->collection->readout graph as a first-party runtime), and each
+    timebin is yielded the moment it completes.  True online operation: the
+    producer and the network never wait for end-of-stream."""
+    lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
+    sess = events_native.StreamSession(
+        cfg.timebin / 1000.0, lut, substeps=int(min(max(cfg.timebin, 1), 1000)),
+        n_in=cfg.dims * cfg.dims,
+    )
+    try:
+        buf_t: list = []
+        buf_x: list = []
+        buf_y: list = []
+
+        def _feed_buf():
+            sess.feed(
+                np.asarray(buf_t, np.float64),
+                np.asarray(buf_x, np.uint16),
+                np.asarray(buf_y, np.uint16),
+            )
+            buf_t.clear()
+            buf_x.clear()
+            buf_y.clear()
+
+        for line in line_source:
+            parts = line.split()
+            if len(parts) < 3:  # skips the optional "width height" header too
+                continue
+            try:
+                tv = float(parts[0])
+                xv = int(float(parts[1]))
+                yv = int(float(parts[2]))
+            except ValueError:
+                continue
+            buf_t.append(tv)
+            buf_x.append(xv)
+            buf_y.append(yv)
+            if len(buf_t) >= 4096:
+                _feed_buf()
+                while (out := sess.poll()) is not None:
+                    yield out[1], out[0]
+        if buf_t:
+            _feed_buf()
+        sess.flush()
+        while (out := sess.poll()) is not None:
+            yield out[1], out[0]
+    finally:
+        sess.close()
+
+
 def aer_bin_source(cfg: LensConfig, substeps: int):
     """Yield (raster (substeps, n_in) int32, roi_frame (roi, roi) uint32) per
     timebin from a recorded event stream — the event-TIME integration path.
@@ -341,7 +394,14 @@ def run_event_driven(cfg: LensConfig):
     # Integration granularity: one step per ms of the bin (chip-like), capped.
     steps = int(min(max(cfg.timebin, 1), 1000))
 
-    if cfg.event_file:
+    if cfg.event_file == "-":
+        # LIVE ingest: text AER lines arriving on stdin feed the native ring
+        # session; bins are processed the moment they complete.
+        import sys
+
+        bins_iter = live_aer_bin_source(cfg, sys.stdin)
+        logger.info("Streaming LIVE from stdin (event-time integration)")
+    elif cfg.event_file:
         # Event-TIME integration: each event lands in the substep its
         # timestamp falls in (chip semantics, run_speck.py:281-299).
         bins_iter = aer_bin_source(cfg, steps)

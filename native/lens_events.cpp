@@ -16,6 +16,8 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <deque>
+#include <mutex>
 #include <vector>
 
 extern "C" {
@@ -184,5 +186,146 @@ int64_t lens_parse_text_events(const char* path, double* t, uint16_t* x,
   std::fclose(f);
   return count;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Live streaming ingest session — the samna event-graph role (reference
+// run_speck.py:281-299: source node -> spike-collection interval -> readout
+// callback) as a first-party ring: a producer thread feeds raw AER events as
+// they arrive; a consumer polls complete timebins, each emitted as an
+// ROI count frame plus an event-TIME substep raster over the (pre-mapped)
+// network input pixels.  Semantics are bit-identical to the offline batch
+// path (lens_tpu/runtime/stream.py aer_bin_source / rasterize_bin_events):
+//   - t0 = first event inside the ROI
+//   - bin b = floor((t - t0) / timebin_s); substep = floor(t_rel/bin * S)
+//   - hot-pixel cap: frame counts clamped; raster capped cumulatively so the
+//     EARLIEST events are kept
+// Feed and poll may run on different threads (mutex-guarded).
+
+namespace {
+
+struct LensStream {
+  double timebin_s;
+  int roi_x, roi_y, roi_w, roi_h, hot_cap, substeps, n_in;
+  std::vector<int32_t> lut;  // roi_h*roi_w -> input index or -1
+  std::mutex mu;
+  double t0 = -1.0;
+  int64_t cur_bin = 0;
+  bool any = false;
+  std::vector<uint32_t> frame;   // current bin, (roi_h*roi_w)
+  std::vector<int32_t> raster;   // current bin, (substeps*n_in)
+  std::deque<std::vector<uint8_t>> ready;  // packed frame||raster per bin
+
+  LensStream() = default;
+
+  void close_bin_locked() {
+    const int64_t fpx = (int64_t)roi_w * roi_h;
+    if (hot_cap > 0) {
+      for (int64_t p = 0; p < fpx; ++p)
+        if (frame[p] > (uint32_t)hot_cap) frame[p] = (uint32_t)hot_cap;
+      // Cumulative cap along substeps per input pixel: earliest kept.
+      for (int p = 0; p < n_in; ++p) {
+        int64_t acc = 0;
+        for (int s = 0; s < substeps; ++s) {
+          int32_t& v = raster[(int64_t)s * n_in + p];
+          int64_t take = std::min<int64_t>(v, hot_cap - acc);
+          if (take < 0) take = 0;
+          v = (int32_t)take;
+          acc += take;
+        }
+      }
+    }
+    std::vector<uint8_t> blob(sizeof(uint32_t) * fpx +
+                              sizeof(int32_t) * (int64_t)substeps * n_in);
+    std::memcpy(blob.data(), frame.data(), sizeof(uint32_t) * fpx);
+    std::memcpy(blob.data() + sizeof(uint32_t) * fpx, raster.data(),
+                sizeof(int32_t) * (int64_t)substeps * n_in);
+    ready.push_back(std::move(blob));
+    std::fill(frame.begin(), frame.end(), 0u);
+    std::fill(raster.begin(), raster.end(), 0);
+    ++cur_bin;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lens_stream_open(double timebin_s, int roi_x, int roi_y, int roi_w,
+                       int roi_h, int hot_cap, int substeps,
+                       const int32_t* lut, int n_in) {
+  auto* s = new LensStream();
+  s->timebin_s = timebin_s;
+  s->roi_x = roi_x;
+  s->roi_y = roi_y;
+  s->roi_w = roi_w;
+  s->roi_h = roi_h;
+  s->hot_cap = hot_cap;
+  s->substeps = substeps;
+  s->n_in = n_in;
+  s->lut.assign(lut, lut + (int64_t)roi_w * roi_h);
+  s->frame.assign((int64_t)roi_w * roi_h, 0u);
+  s->raster.assign((int64_t)substeps * n_in, 0);
+  return s;
+}
+
+// Feed a chunk of time-ordered events; out-of-ROI events are dropped, events
+// older than the current bin (late arrivals) are dropped.
+void lens_stream_feed(void* h, const double* t, const uint16_t* x,
+                      const uint16_t* y, int64_t n) {
+  auto* s = (LensStream*)h;
+  std::lock_guard<std::mutex> lock(s->mu);
+  for (int64_t i = 0; i < n; ++i) {
+    const int xr = (int)x[i] - s->roi_x;
+    const int yr = (int)y[i] - s->roi_y;
+    if (xr < 0 || xr >= s->roi_w || yr < 0 || yr >= s->roi_h) continue;
+    if (s->t0 < 0) s->t0 = t[i];
+    s->any = true;
+    const int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
+    if (b < s->cur_bin) continue;  // late event: its bin already emitted
+    while (s->cur_bin < b) s->close_bin_locked();
+    s->frame[(int64_t)yr * s->roi_w + xr] += 1;
+    const int32_t pix = s->lut[(int64_t)yr * s->roi_w + xr];
+    if (pix >= 0) {
+      const double t_rel = t[i] - s->t0 - (double)b * s->timebin_s;
+      int64_t sub = (int64_t)(t_rel / s->timebin_s * s->substeps);
+      if (sub < 0) sub = 0;
+      if (sub >= s->substeps) sub = s->substeps - 1;
+      s->raster[sub * s->n_in + pix] += 1;
+    }
+  }
+}
+
+// Close the current (partial) bin — call at end-of-stream so the final bin
+// is emitted, mirroring the offline path which emits through bins.max().
+void lens_stream_flush(void* h) {
+  auto* s = (LensStream*)h;
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (s->any) s->close_bin_locked();
+}
+
+int64_t lens_stream_pending(void* h) {
+  auto* s = (LensStream*)h;
+  std::lock_guard<std::mutex> lock(s->mu);
+  return (int64_t)s->ready.size();
+}
+
+// Pop one complete bin into frame_out (roi_h*roi_w u32) and raster_out
+// (substeps*n_in i32).  Returns 1 if a bin was emitted, 0 if none pending.
+int lens_stream_poll(void* h, uint32_t* frame_out, int32_t* raster_out) {
+  auto* s = (LensStream*)h;
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (s->ready.empty()) return 0;
+  const int64_t fpx = (int64_t)s->roi_w * s->roi_h;
+  const std::vector<uint8_t>& blob = s->ready.front();
+  std::memcpy(frame_out, blob.data(), sizeof(uint32_t) * fpx);
+  std::memcpy(raster_out, blob.data() + sizeof(uint32_t) * fpx,
+              sizeof(int32_t) * (int64_t)s->substeps * s->n_in);
+  s->ready.pop_front();
+  return 1;
+}
+
+void lens_stream_close(void* h) { delete (LensStream*)h; }
 
 }  // extern "C"

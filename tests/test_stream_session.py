@@ -1,0 +1,139 @@
+"""Native live-ingest session: parity with the offline AER path, native vs
+numpy-fallback agreement, cross-thread feed/poll, and the live stdin mode."""
+
+import threading
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from lens_tpu.runtime import events_native as ev
+from lens_tpu.runtime.stream import aer_bin_source, center_pixel_lut, live_aer_bin_source
+
+
+def _random_stream(rng, n=8000, t_span=2.3, sensor=128):
+    t = np.sort(rng.uniform(0, t_span, n))
+    x = rng.integers(0, sensor, n).astype(np.uint16)
+    y = rng.integers(0, sensor, n).astype(np.uint16)
+    return t, x, y
+
+
+def _drain(sess):
+    out = []
+    while (b := sess.poll()) is not None:
+        out.append(b)
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_session_matches_offline_batch_path(tmp_path, use_native, tiny_dataset_cfg):
+    """Feeding a recorded stream through the live session in random-size
+    chunks must reproduce the offline aer_bin_source bins BIT-FOR-BIT
+    (same t0, bin, substep, and earliest-kept cap semantics)."""
+    if use_native and ev.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(0)
+    t, x, y = _random_stream(rng)
+    cfg = replace(tiny_dataset_cfg)  # roi 16, dims 4, timebin from conftest
+    ev_path = tmp_path / "stream.npy"
+    np.save(ev_path, np.stack([t, x, y, np.ones_like(t)], axis=1))
+    offline = list(aer_bin_source(replace(cfg, event_file=str(ev_path)),
+                                  int(min(max(cfg.timebin, 1), 1000))))
+
+    lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
+    sess = ev.StreamSession(
+        cfg.timebin / 1000.0, lut, substeps=int(min(max(cfg.timebin, 1), 1000)),
+        roi_origin=(23, 0), n_in=cfg.dims * cfg.dims, use_native=use_native,
+    )
+    i = 0
+    while i < len(t):
+        step = int(rng.integers(1, 700))
+        sess.feed(t[i : i + step], x[i : i + step], y[i : i + step])
+        i += step
+    sess.flush()
+    live = _drain(sess)
+    sess.close()
+
+    assert len(live) == len(offline) > 0
+    for (frame, raster), (off_raster, off_frame) in zip(live, offline):
+        np.testing.assert_array_equal(frame, off_frame)
+        np.testing.assert_array_equal(raster, off_raster)
+
+
+def test_native_and_fallback_agree():
+    if ev.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(1)
+    t, x, y = _random_stream(rng, n=3000, t_span=1.1)
+    lut = center_pixel_lut(80, 10)
+    out = {}
+    for use_native in (True, False):
+        sess = ev.StreamSession(0.25, lut, substeps=250, use_native=use_native)
+        sess.feed(t, x, y)
+        sess.flush()
+        out[use_native] = _drain(sess)
+        sess.close()
+    assert len(out[True]) == len(out[False]) > 0
+    for (f1, r1), (f2, r2) in zip(out[True], out[False]):
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(r1, r2)
+
+
+def test_cross_thread_feed_poll():
+    """Producer thread feeds while the consumer polls — the ingest session is
+    the component that replaces the reference's unsynchronized samna-callback
+    threads (SURVEY §3.4 race) with a locked ring."""
+    rng = np.random.default_rng(2)
+    t, x, y = _random_stream(rng, n=20_000, t_span=5.0)
+    lut = center_pixel_lut(80, 10)
+    sess = ev.StreamSession(0.25, lut, substeps=250)
+
+    def produce():
+        for i in range(0, len(t), 500):
+            sess.feed(t[i : i + 500], x[i : i + 500], y[i : i + 500])
+        sess.flush()
+
+    prod = threading.Thread(target=produce)
+    prod.start()
+    bins = []
+    while prod.is_alive() or sess.pending():
+        b = sess.poll()
+        if b is not None:
+            bins.append(b)
+    prod.join()
+    bins.extend(_drain(sess))
+    sess.close()
+    assert len(bins) == 20  # 5.0 s / 0.25 s
+    total = sum(int(f.sum()) for f, _ in bins)
+    # every in-ROI event accounted for (cap can only reduce, check bound)
+    xr, yr = x.astype(int) - 23, y.astype(int)
+    in_roi = ((xr >= 0) & (xr < 80) & (yr >= 0) & (yr < 80)).sum()
+    assert 0 < total <= in_roi
+
+
+def test_live_stdin_mode_end_to_end(tiny_dataset_cfg):
+    """--event_file - : text AER lines through live_aer_bin_source match the
+    batch path on the same data."""
+    rng = np.random.default_rng(3)
+    cfg = tiny_dataset_cfg
+    t, x, y = _random_stream(rng, n=4000, t_span=1.7, sensor=64)
+    lines = ["64 64\n"] + [
+        f"{tv:.6f} {xv} {yv} 1\n" for tv, xv, yv in zip(t, x, y)
+    ]
+    live = list(live_aer_bin_source(cfg, iter(lines)))
+    assert len(live) > 0
+    steps = int(min(max(cfg.timebin, 1), 1000))
+    lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
+    sess = ev.StreamSession(
+        cfg.timebin / 1000.0, lut, substeps=steps, n_in=cfg.dims * cfg.dims
+    )
+    # Feed with float re-parse to match the text roundtrip precision.
+    t_txt = np.array([float(f"{tv:.6f}") for tv in t])
+    sess.feed(t_txt, x, y)
+    sess.flush()
+    ref = _drain(sess)
+    sess.close()
+    assert len(live) == len(ref)
+    for (raster, frame), (rf, rr) in zip(live, ref):
+        np.testing.assert_array_equal(frame, rf)
+        np.testing.assert_array_equal(raster, rr)
