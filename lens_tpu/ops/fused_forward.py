@@ -45,7 +45,14 @@ def _spikes(v: jnp.ndarray, thr: float) -> jnp.ndarray:
     return jnp.maximum(jnp.floor(v / thr), 0.0)
 
 
-def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
+def _kernel(
+    thr_feat: float,
+    thr_out: float,
+    min_v: Optional[float],
+    min_v_out: Optional[float] = None,
+):
+    if min_v_out is None:
+        min_v_out = min_v
     # Note: an explicitly software-pipelined variant (compute the
     # state-independent GEMM1 one step ahead behind a lax.cond) was measured
     # SLOWER (220k vs 255k frames/s) — Mosaic already schedules the
@@ -73,8 +80,8 @@ def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
             v3 = v3 + h2
             s3 = _spikes(v3, thr_out)
             v3 = v3 - s3 * thr_out
-            if min_v is not None:
-                v3 = jnp.maximum(v3, min_v)
+            if min_v_out is not None:
+                v3 = jnp.maximum(v3, min_v_out)
             return v2, v3, acc + s3
 
         init = (
@@ -90,7 +97,9 @@ def _kernel(thr_feat: float, thr_out: float, min_v: Optional[float]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spike_thresholds", "min_v_mem", "tile_q", "interpret"),
+    static_argnames=(
+        "spike_thresholds", "min_v_mem", "min_v_mem_out", "tile_q", "interpret"
+    ),
 )
 def forward_counts_pallas(
     params: LensParams,
@@ -100,11 +109,14 @@ def forward_counts_pallas(
     min_v_mem: Optional[float] = -1.0,
     tile_q: int = 1024,
     interpret: bool = False,
+    min_v_mem_out: Optional[float] = None,  # None = same floor as layer 1
 ) -> jnp.ndarray:
     """(Q, n_out) output spike counts; drop-in for forward_counts.
 
     Requires the input-IAF threshold to be 1.0 (the identity elision); the
-    orchestrator routes other configurations to the scan path.
+    orchestrator routes other configurations to the scan path.  A separate
+    `min_v_mem_out` supports the quantized chip path, where each layer's
+    membrane floor is scaled by its own discretization factor.
     """
     assert spike_thresholds.inp == 1.0, "input IAF elision needs threshold 1"
     q, n_in = intensities.shape
@@ -134,6 +146,7 @@ def forward_counts_pallas(
             float(spike_thresholds.feat),
             float(spike_thresholds.out),
             None if min_v_mem is None else float(min_v_mem),
+            None if min_v_mem_out is None else float(min_v_mem_out),
         ),
         out_shape=jax.ShapeDtypeStruct((q_p, n_out_p), jnp.float32),
         grid=grid,

@@ -63,10 +63,10 @@ STATE_BITS_MIN = -(2 ** (STATE_BITS - 1))  # -32768
 class QuantizedParams(NamedTuple):
     w_feat: jnp.ndarray  # (n_in, n_feat) int32 (values fit int8)
     w_out: jnp.ndarray  # (n_feat, n_out) int32
-    thr_feat: jnp.ndarray  # () int32 spike threshold, feature IAF
-    thr_out: jnp.ndarray  # () int32 spike threshold, output IAF
-    minv_feat: jnp.ndarray  # () int32 membrane floor
-    minv_out: jnp.ndarray  # () int32
+    thr_feat: int  # spike threshold, feature IAF (host int: jitted consumers
+    thr_out: int  # trace it as a scalar; keeping it host-side avoids a
+    minv_feat: int  # blocking device->host scalar fetch per dispatch on the
+    minv_out: int  # relay-tunneled TPU)
     scale_feat: float
     scale_out: float
 
@@ -121,10 +121,10 @@ def discretize(
     return QuantizedParams(
         w_feat=jnp.asarray(_round_int(w_feat * s_feat), jnp.int32),
         w_out=jnp.asarray(_round_int(w_out * s_out), jnp.int32),
-        thr_feat=jnp.int32(_round_int(spike_thresholds.feat * s_feat)),
-        thr_out=jnp.int32(_round_int(spike_thresholds.out * s_out)),
-        minv_feat=jnp.int32(_round_int(min_v_mem * s_feat)),
-        minv_out=jnp.int32(_round_int(min_v_mem * s_out)),
+        thr_feat=int(_round_int(spike_thresholds.feat * s_feat)),
+        thr_out=int(_round_int(spike_thresholds.out * s_out)),
+        minv_feat=int(_round_int(min_v_mem * s_feat)),
+        minv_out=int(_round_int(min_v_mem * s_out)),
         scale_feat=s_feat,
         scale_out=s_out,
     )
@@ -156,7 +156,92 @@ def forward_counts_quantized_bucketed(
         intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
             intensities
         )
+    from lens_tpu.ops.fused_forward import pallas_available
+
+    if pallas_available():
+        return forward_counts_quantized_pallas(
+            qparams, intensities, u_thresh, tile_q=q_bucket
+        )[:q]
     return forward_counts_quantized(qparams, intensities, u_thresh)[:q]
+
+
+def forward_counts_quantized_pallas(
+    qparams: QuantizedParams,
+    intensities: jnp.ndarray,
+    u_thresh: jnp.ndarray,
+    tile_q: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The quantized forward through the fused Pallas kernel — BIT-IDENTICAL
+    to the int32 scan, ~3x faster (the float kernel's VMEM-resident loop).
+
+    Why f32 arithmetic is exact here: every quantity is an integer of
+    magnitude < 2^24 (weights <= 128, |membranes| <= |min_v| + max step
+    drive ~ 2^16, f32 GEMM accumulators < 2^24), so adds/subtracts/GEMMs are
+    exact; and floor(v/thr) cannot misround across an integer boundary
+    because the true ratio's distance from the boundary is >= 1/thr while
+    the f32 half-ulp at k = v/thr is <= 2^-24 * 65536/thr < 1/thr.  Fuzzed
+    bit-exact against forward_counts_quantized in tests/test_speck_sim.py.
+    """
+    params_f = _pallas_params(qparams)
+    # One fused dispatch per call (kernel + int cast inside a single jit):
+    # every extra per-call device op is a measurable roundtrip on the relay.
+    return _quantized_pallas_jit(
+        params_f,
+        intensities,
+        u_thresh,
+        SpikeThresholds(1.0, float(qparams.thr_feat), float(qparams.thr_out)),
+        float(qparams.minv_feat),
+        float(qparams.minv_out),
+        tile_q,
+        interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("thr", "minv_feat", "minv_out", "tile_q", "interpret"),
+)
+def _quantized_pallas_jit(
+    params_f, intensities, u_thresh, thr, minv_feat, minv_out, tile_q, interpret
+):
+    from lens_tpu.ops.fused_forward import forward_counts_pallas
+
+    counts = forward_counts_pallas(
+        params_f,
+        intensities,
+        u_thresh,
+        thr,
+        min_v_mem=minv_feat,
+        min_v_mem_out=minv_out,
+        tile_q=tile_q,
+        interpret=interpret,
+    )
+    return counts.astype(jnp.int32)
+
+
+_PALLAS_PARAMS_CACHE: dict = {}
+
+
+def _pallas_params(qparams: QuantizedParams) -> LensParams:
+    """f32 views of the integer weights, cached per weight buffer: the
+    per-call astype dispatches were measurable through the relay (each
+    dispatch is a tunnel roundtrip in the worst case).  The cache holds a
+    strong reference to the source array so its id cannot be reused."""
+    key = id(qparams.w_feat)
+    hit = _PALLAS_PARAMS_CACHE.get(key)
+    if hit is not None and hit[0] is qparams.w_feat:
+        return hit[1]
+    params_f = LensParams(
+        w_feat=qparams.w_feat.astype(jnp.float32),
+        w_out=qparams.w_out.astype(jnp.float32),
+        thr_feat=jnp.zeros((qparams.w_feat.shape[1],), jnp.float32),
+        thr_out=jnp.zeros((qparams.w_out.shape[1],), jnp.float32),
+    )
+    if len(_PALLAS_PARAMS_CACHE) >= 16:
+        _PALLAS_PARAMS_CACHE.pop(next(iter(_PALLAS_PARAMS_CACHE)))
+    _PALLAS_PARAMS_CACHE[key] = (qparams.w_feat, params_f)
+    return params_f
 
 
 @jax.jit

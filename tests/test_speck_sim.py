@@ -116,3 +116,41 @@ def test_threshold_overrides_scale():
     # Threshold constraint binds: scale = 32767/10 for the feature layer.
     assert int(qp.thr_feat) == round(10.0 * qp.scale_feat)
     assert int(qp.thr_out) == round(2.0 * qp.scale_out)
+
+
+def test_quantized_pallas_kernel_bit_exact_fuzz():
+    """The fused-kernel quantized route must be BIT-IDENTICAL to the int32
+    scan (the mode's contract).  Fuzzed over random shapes, weight scales,
+    and threshold overrides, interpret mode on CPU."""
+    import jax
+
+    from lens_tpu.runtime.speck_sim import forward_counts_quantized_pallas
+
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n_in = int(rng.integers(4, 40))
+        n_feat = int(rng.integers(4, 60))
+        n_out = int(rng.integers(4, 40))
+        q = int(rng.integers(1, 30))
+        t = int(rng.integers(3, 40))
+        scale = float(rng.uniform(0.05, 2.0))
+        params = params_from_numpy(
+            (rng.normal(0, scale, (n_in, n_feat))).astype(np.float32),
+            (rng.normal(0, scale, (n_feat, n_out))).astype(np.float32),
+            np.zeros(n_feat, np.float32),
+            np.zeros(n_out, np.float32),
+        )
+        thr = SpikeThresholds(
+            1.0, float(rng.choice([1.0, 2.0, 10.0])), float(rng.choice([1.0, 2.0]))
+        )
+        qp = discretize(params, thr, min_v_mem=-1.0)
+        intens = rng.random((q, n_in)).astype(np.float32)
+        u = rng.random((t, n_in)).astype(np.float32)
+        ref = np.asarray(forward_counts_quantized(qp, intens, u))
+        fast = np.asarray(
+            forward_counts_quantized_pallas(
+                qp, intens, u, tile_q=32, interpret=interpret
+            )
+        )[:q]
+        np.testing.assert_array_equal(fast, ref, err_msg=f"trial {trial}")
