@@ -30,36 +30,54 @@ def run_collector(cfg: LensConfig) -> str:
 
     if not cfg.event_file:
         raise ValueError(
-            "--collect_data needs --event_file (a recorded DVS stream); "
-            "live devkit capture has no TPU-host equivalent"
+            "--collect_data needs --event_file: a recorded DVS stream, or '-' "
+            "for live stdin ingest (text AER lines)"
         )
 
     img_folder = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.data_name)
     os.makedirs(img_folder, exist_ok=True)
 
-    if cfg.event_file.endswith(".npy"):
-        arr = np.load(cfg.event_file)
-        t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
-    else:
-        t, x, y, _, _ = events_native.parse_text_events(cfg.event_file)
+    if cfg.event_file == "-":
+        # LIVE collection: text AER lines on stdin feed the native ring
+        # session; each frame is written the moment its timebin completes —
+        # the reference's devkit collector-thread role (collect_data.py:
+        # 186-202) with stdin as the source.
+        import sys
 
-    frames = events_native.accumulate_frames(
-        t,
-        x,
-        y,
-        timebin_s=cfg.timebin / 1000.0,
-        roi_origin=(23, 0),  # collect_data.py:230-233
-        roi_size=(cfg.roi_dim, cfg.roi_dim),
-        # Rate threshold (collect_data.py:234-235) scaled to a per-bin cap
-        # by the shared helper (single source of truth across engines).
-        hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
-    )
-    for i, frame in enumerate(frames):
-        img = np.clip(frame, 0, 255).astype(np.uint8)
-        Image.fromarray(img).save(
-            os.path.join(img_folder, f"frame_{i:05d}.png")
-        )  # collect_data.py:198 naming
+        from lens_tpu.runtime.stream import live_aer_bin_source
+
+        n_frames = 0
+        for _, frame in live_aer_bin_source(cfg, sys.stdin):
+            _save_frame(img_folder, n_frames, frame)
+            n_frames += 1
+    else:
+        if cfg.event_file.endswith(".npy"):
+            arr = np.load(cfg.event_file)
+            t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
+        else:
+            t, x, y, _, _ = events_native.parse_text_events(cfg.event_file)
+
+        frames = events_native.accumulate_frames(
+            t,
+            x,
+            y,
+            timebin_s=cfg.timebin / 1000.0,
+            roi_origin=(23, 0),  # collect_data.py:230-233
+            roi_size=(cfg.roi_dim, cfg.roi_dim),
+            # Rate threshold (collect_data.py:234-235) scaled to a per-bin cap
+            # by the shared helper (single source of truth across engines).
+            hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
+        )
+        for i, frame in enumerate(frames):
+            _save_frame(img_folder, i, frame)
+        n_frames = len(frames)
     csv_path = os.path.join(cfg.data_dir, f"{cfg.data_name}.csv")
     create_csv_from_images(img_folder, csv_path)
-    logger.info(f"Collected {len(frames)} frames to {img_folder}; CSV at {csv_path}")
+    logger.info(f"Collected {n_frames} frames to {img_folder}; CSV at {csv_path}")
     return img_folder
+
+
+def _save_frame(img_folder: str, idx: int, frame: np.ndarray) -> None:
+    img = np.clip(frame, 0, 255).astype(np.uint8)
+    # collect_data.py:198 naming
+    Image.fromarray(img).save(os.path.join(img_folder, f"frame_{idx:05d}.png"))

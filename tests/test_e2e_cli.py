@@ -164,3 +164,48 @@ def test_collect_data_mode(tiny_dataset, tmp_path):
     pngs = [f for f in os.listdir(folder) if f.endswith(".png")]
     assert len(pngs) >= 2
     assert os.path.exists(os.path.join(cfg.data_dir, "newdata.csv"))
+
+
+def test_collect_data_live_stdin(tiny_dataset, monkeypatch):
+    """--collect_data --event_file - : frames are written live as each
+    stdin-fed timebin completes (the reference's devkit collector-thread
+    role, collect_data.py:186-202)."""
+    import io
+    import sys
+    from dataclasses import replace
+
+    from lens_tpu.runtime.collect import run_collector
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = np.sort(rng.uniform(0, 0.1, n))
+    x = rng.integers(23, 23 + 16, n)
+    y = rng.integers(0, 16, n)
+    lines = "128 128\n" + "".join(
+        f"{tv:.6f} {xv} {yv} 1\n" for tv, xv, yv in zip(t, x, y)
+    )
+    monkeypatch.setattr(sys, "stdin", io.StringIO(lines))
+    cfg = replace(
+        tiny_dataset, collect_data=True, event_file="-", data_name="livedata"
+    )
+    folder = run_collector(cfg)
+    pngs = sorted(f for f in os.listdir(folder) if f.endswith(".png"))
+    assert len(pngs) == 5  # 0.1 s / 20 ms bins
+    assert os.path.exists(os.path.join(cfg.data_dir, "livedata.csv"))
+
+
+def test_shard_db_auto_route(tiny_dataset, tiny_model):
+    """The auto threshold engages TP without the flag when the DB is large
+    enough (here forced low); counts identical to the default path."""
+    import jax
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    base = run_inference(replace(tiny_dataset, matching=True))
+    auto = run_inference(
+        replace(tiny_dataset, matching=True, shard_db_auto_places=1)
+    )
+    np.testing.assert_array_equal(auto.counts, base.counts)
