@@ -107,6 +107,51 @@ def load_layer_state(path: str):
     return state, epoch
 
 
+def _pad_and_shard_output_state(state: LayerState, mesh) -> LayerState:
+    """Shard a layer state's OUTPUT (place) axis over the mesh's 'model'
+    axis, zero-padding to a shard multiple first.
+
+    Zero-padded columns are inert under every STDP rule: the forced index
+    never points at them, their thresholds/rates/masks are zero so both
+    update branches, the sign clamps, ITP, and homeostasis all leave them at
+    exactly zero — trained real columns are bit-identical to the unsharded
+    run (tested).  Padding happens AFTER init so the reference's
+    last-output-row normalization quirk is untouched.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_model = mesh.shape["model"]
+    n_out = state.w.shape[1]
+    pad = (-n_out) % n_model
+
+    def pad_mat(a):
+        return jnp.pad(a, ((0, 0), (0, pad))) if pad else a
+
+    def pad_vec(a):
+        return jnp.pad(a, ((0, pad),)) if pad else a
+
+    padded = LayerState(
+        w=pad_mat(state.w),
+        thr=pad_vec(state.thr),
+        x=pad_vec(state.x),
+        fire_rate=pad_vec(state.fire_rate),
+        const_inp=pad_vec(state.const_inp),
+        exc_mask=pad_mat(state.exc_mask),
+        inh_mask=pad_mat(state.inh_mask),
+    )
+    mat = NamedSharding(mesh, P(None, "model"))
+    vec = NamedSharding(mesh, P("model"))
+    return LayerState(
+        w=jax.device_put(padded.w, mat),
+        thr=jax.device_put(padded.thr, vec),
+        x=jax.device_put(padded.x, vec),
+        fire_rate=jax.device_put(padded.fire_rate, vec),
+        const_inp=jax.device_put(padded.const_inp, vec),
+        exc_mask=jax.device_put(padded.exc_mask, mat),
+        inh_mask=jax.device_put(padded.inh_mask, mat),
+    )
+
+
 def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
           resume: bool = False) -> LensParams:
     """Run the full two-layer training and return inference params.
@@ -114,8 +159,25 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
     The per-layer scan is chunked by epoch blocks of `checkpoint_every`
     epochs; after each block the layer's training state is checkpointed, and
     `resume=True` continues an interrupted run from the last block.
+
+    On a multi-chip slice with --shard_db (or a database past
+    --shard_db_auto_places), the OUTPUT layer's place axis trains sharded
+    over the mesh's 'model' axis — the STDP update is column-parallel in its
+    output dimension, so a database too large for one chip trains as one
+    program with no intra-layer collective.
     """
     log = logger.info if logger else print
+
+    tp_mesh = None
+    if cfg.shard_db or cfg.output >= cfg.shard_db_auto_places:
+        if len(jax.devices()) > 1:
+            from lens_tpu.parallel.mesh import make_mesh
+
+            tp_mesh = make_mesh(data=1)  # every chip holds a place-axis shard
+            log(
+                f"Output layer ({cfg.output} places) sharded over "
+                f"{tp_mesh.shape['model']} devices (model axis)"
+            )
 
     reference_dir = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference)
     dataset_file = os.path.join(cfg.data_dir, cfg.reference + ".csv")
@@ -172,6 +234,9 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
     # Frozen feature responses for every sample, one batched GEMM
     # (replaces the per-step prev-layer pass of train_model.py:163-168).
     feat_spikes = clamp_spikes(X @ feat_state.w, feat_state.thr)
+    if tp_mesh is not None and out_state.w.shape[1] == cfg.output:
+        # (The shape guard skips re-padding when resuming a sharded run.)
+        out_state = _pad_and_shard_output_state(out_state, tp_mesh)
     out_state = train_one_layer(
         "output_layer",
         out_state,
@@ -184,9 +249,9 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
 
     return LensParams(
         w_feat=feat_state.w,
-        w_out=out_state.w,
+        w_out=out_state.w[:, : cfg.output],  # strip TP padding, if any
         thr_feat=feat_state.thr,
-        thr_out=out_state.thr,
+        thr_out=out_state.thr[: cfg.output],
     )
 
 

@@ -203,3 +203,23 @@ def test_quantized_sharded_counts_bit_exact(mesh):
     mesh2 = make_mesh(8, data=2)
     tp = sharded_quantized_counts(qp, intens, u, mesh=mesh2, shard_places=True)
     np.testing.assert_array_equal(tp, single)
+
+
+def test_tp_sharded_training_bit_exact(tiny_dataset_cfg):
+    """Training with the output layer's place axis sharded over 'model' must
+    produce BIT-IDENTICAL weights to the single-device run: the STDP update
+    is column-parallel and zero-padded columns are inert under every rule."""
+    from dataclasses import replace
+
+    from lens_tpu.train_model import train
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = replace(tiny_dataset_cfg, epoch_feat=3, epoch_out=3)
+    base = train(cfg, checkpoint_every=100)
+    # tiny cfg has 10 places -> pads to 16 over 8 model shards
+    tp = train(replace(cfg, shard_db=True), checkpoint_every=100)
+    np.testing.assert_array_equal(np.asarray(tp.w_out), np.asarray(base.w_out))
+    np.testing.assert_array_equal(np.asarray(tp.thr_out), np.asarray(base.thr_out))
+    np.testing.assert_array_equal(np.asarray(tp.w_feat), np.asarray(base.w_feat))
+    assert tp.w_out.shape == base.w_out.shape  # padding stripped
