@@ -13,4 +13,28 @@ Public API entry points:
     lens_tpu.parallel.sweep.run_sweep   — vmapped hyperparameter search
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):  # lazy top-level exports: `from lens_tpu import LensModel`
+    if name == "LensConfig":
+        from lens_tpu.config import LensConfig
+
+        return LensConfig
+    if name == "LensModel":
+        from lens_tpu.models.lens import LensModel
+
+        return LensModel
+    if name == "run_inference":
+        from lens_tpu.run_model import run_inference
+
+        return run_inference
+    if name == "run_training":
+        from lens_tpu.train_model import run_training
+
+        return run_training
+    if name == "run_sweep":
+        from lens_tpu.parallel.sweep import run_sweep
+
+        return run_sweep
+    raise AttributeError(f"module 'lens_tpu' has no attribute {name!r}")

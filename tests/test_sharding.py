@@ -223,3 +223,52 @@ def test_tp_sharded_training_bit_exact(tiny_dataset_cfg):
     np.testing.assert_array_equal(np.asarray(tp.thr_out), np.asarray(base.thr_out))
     np.testing.assert_array_equal(np.asarray(tp.w_feat), np.asarray(base.w_feat))
     assert tp.w_out.shape == base.w_out.shape  # padding stripped
+
+
+def test_tp_scale_smoke_16k_places(mesh):
+    """Non-toy scale: a 16,384-place database trains one output-layer step
+    and evaluates sharded over the mesh — the 'database past one chip'
+    story at a size where a single v5e would feel it (w_out alone is
+    200x16384 f32 per layer here scaled down)."""
+    from lens_tpu.core.stdp import init_layer, train_layer_scan
+    from lens_tpu.parallel.mesh import tp_sharded_spike_counts
+
+    rng = np.random.default_rng(0)
+    n_in, n_feat, n_db = 16, 32, 16384
+    key = jax.random.PRNGKey(0)
+    out_state, out_hyper = init_layer(
+        key, n_feat, n_db, (0.0, 0.5), (0.5, 0.5), 0.02, 0.01, (1.0, 1.0),
+        spk_force=True,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mat = NamedSharding(mesh, P(None, "model"))
+    vec = NamedSharding(mesh, P("model"))
+    out_state = out_state._replace(
+        w=jax.device_put(out_state.w, mat),
+        thr=jax.device_put(out_state.thr, vec),
+        x=jax.device_put(out_state.x, vec),
+        fire_rate=jax.device_put(out_state.fire_rate, vec),
+        const_inp=jax.device_put(out_state.const_inp, vec),
+        exc_mask=jax.device_put(out_state.exc_mask, mat),
+        inh_mask=jax.device_put(out_state.inh_mask, mat),
+    )
+    samples = jnp.asarray(rng.uniform(0, 1, (8, n_feat)).astype(np.float32))
+    idxs = jnp.asarray(rng.integers(0, n_db, 8), jnp.int32)
+    trained = train_layer_scan(
+        out_state, out_hyper, samples, idxs, total_steps=8,
+        prev_fire_rate=jnp.full((n_feat,), 0.5),
+    )
+    assert trained.w.shape == (n_feat, n_db)
+    assert "model" in str(trained.w.sharding)
+
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (n_in, n_feat)).astype(np.float32),
+        np.asarray(trained.w, np.float32),
+        np.zeros(n_feat, np.float32),
+        np.zeros(n_db, np.float32),
+    )
+    intens = rng.random((8, n_in)).astype(np.float32)
+    u = rng.random((5, n_in)).astype(np.float32)
+    counts = tp_sharded_spike_counts(params, intens, u, mesh=mesh)
+    assert counts.shape == (8, n_db)
