@@ -107,35 +107,32 @@ def tp_sharded_spike_counts(
     output is produced by the same local dot-product order regardless of
     which shard owns it.
     """
-    import jax.numpy as jnp
-
     from lens_tpu.core.network import forward_counts
 
     if mesh is None:
         n = len(jax.devices())
         model = model_shards or n
         mesh = make_mesh(data=max(1, n // model))
-    n_data = mesh.shape["data"]
-    n_model = mesh.shape["model"]
-    q = intensities.shape[0]
-    r = params.w_out.shape[1]
-    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
-    w_out = pad_to_multiple(np.asarray(params.w_out, np.float32), 1, n_model)
-    thr_out = pad_to_multiple(np.asarray(params.thr_out, np.float32), 0, n_model)
-    with mesh:
-        sharded_params = type(params)(
+
+    def shard_params(w_out_sharded, jnp):
+        thr_out = pad_to_multiple(
+            np.asarray(params.thr_out, np.float32), 0, mesh.shape["model"]
+        )
+        return type(params)(
             w_feat=replicate(mesh, jnp.asarray(params.w_feat)),
-            w_out=shard_output_axis(mesh, jnp.asarray(w_out), 1),
+            w_out=w_out_sharded,
             thr_feat=replicate(mesh, jnp.asarray(params.thr_feat)),
             thr_out=shard_output_axis(mesh, jnp.asarray(thr_out), 0),
         )
-        counts = forward_counts(
-            sharded_params,
-            shard_queries(mesh, jnp.asarray(intens)),
-            replicate(mesh, jnp.asarray(u_thresh)),
-            min_v_mem=min_v_mem,
-        )
-    return np.asarray(counts)[:q, :r]
+
+    return _place_sharded_counts(
+        mesh,
+        params.w_out,
+        shard_params,
+        intensities,
+        u_thresh,
+        lambda p, i, u: forward_counts(p, i, u, min_v_mem=min_v_mem),
+    )
 
 
 def sharded_quantized_counts(
@@ -152,27 +149,46 @@ def sharded_quantized_counts(
     Counts remain bit-exact: integer-valued f32 GEMMs are exact in any
     partitioning that does not split the reduction axis, and none here does.
     """
-    import jax.numpy as jnp
-
     from lens_tpu.runtime.speck_sim import forward_counts_quantized
 
     if mesh is None:
         # All devices to 'model' when the DB is the thing outgrowing a chip,
         # otherwise all to 'data' (the throughput axis).
         mesh = make_mesh(data=1) if shard_places else make_mesh()
-    n_data = mesh.shape["data"]
-    n_model = mesh.shape["model"]
-    q = intensities.shape[0]
-    r = qparams.w_out.shape[1]
-    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
-    w_out = pad_to_multiple(np.asarray(qparams.w_out), 1, n_model)
-    with mesh:
-        qp = qparams._replace(
-            w_feat=replicate(mesh, qparams.w_feat),
-            w_out=shard_output_axis(mesh, jnp.asarray(w_out), 1),
+
+    def shard_params(w_out_sharded, jnp):
+        return qparams._replace(
+            w_feat=replicate(mesh, qparams.w_feat), w_out=w_out_sharded
         )
-        counts = forward_counts_quantized(
-            qp,
+
+    return _place_sharded_counts(
+        mesh,
+        qparams.w_out,
+        shard_params,
+        intensities,
+        u_thresh,
+        forward_counts_quantized,
+    )
+
+
+def _place_sharded_counts(mesh, w_out, shard_params, intensities, u_thresh, forward):
+    """Shared pad->shard->forward->strip driver for place-axis sharding:
+    queries pad to the 'data' multiple, w_out's place axis pads to the
+    'model' multiple (zero-weight places count zero), `shard_params` builds
+    the sharded params pytree from the sharded w_out, and the padding is
+    stripped from the gathered counts."""
+    import jax.numpy as jnp
+
+    q = intensities.shape[0]
+    r = w_out.shape[1]
+    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, mesh.shape["data"])
+    w_out_p = pad_to_multiple(np.asarray(w_out), 1, mesh.shape["model"])
+    with mesh:
+        sharded = shard_params(
+            shard_output_axis(mesh, jnp.asarray(w_out_p), 1), jnp
+        )
+        counts = forward(
+            sharded,
             shard_queries(mesh, jnp.asarray(intens)),
             replicate(mesh, jnp.asarray(u_thresh)),
         )

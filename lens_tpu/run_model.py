@@ -73,25 +73,23 @@ def compute_similarity(
     returns (Q, R) counts."""
     import jax
 
+    n_dev = len(jax.devices())
+    want_tp = cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places
+
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
-        if len(jax.devices()) > 1:
+        if n_dev > 1:
             from lens_tpu.parallel.mesh import sharded_quantized_counts
 
             return sharded_quantized_counts(
-                qp,
-                intensities,
-                u_thresh,
-                shard_places=cfg.shard_db
-                or cfg.reference_places >= cfg.shard_db_auto_places,
+                qp, intensities, u_thresh, shard_places=want_tp
             ).astype(np.float64)
         return np.asarray(
             forward_counts_quantized_bucketed(qp, jnp.asarray(intensities, jnp.float32), u_thresh),
             np.float64,
         )
 
-    n_dev = len(jax.devices())
-    if n_dev > 1 and (cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places):
+    if n_dev > 1 and want_tp:
         # Database larger than one chip's appetite (or forced via --shard_db):
         # shard the PLACE axis of w_out across 'model' (TP).  Counts are
         # bit-identical to the single-device path (column-parallel output

@@ -126,6 +126,7 @@ class ModelHost:
         from lens_tpu.runtime.stream import (
             even_spread_raster,
             stream_forward_counts_carry,
+            substeps_for,
         )
 
         if self._px_rows is None:
@@ -135,7 +136,7 @@ class ModelHost:
         down = (
             frame_u8[self._px_rows][:, self._px_cols].astype(np.int64).reshape(-1)
         )
-        steps = int(min(max(self.cfg.timebin, 1), 1000))
+        steps = substeps_for(self.cfg.timebin)
         raster = even_spread_raster(down, steps)
         t0 = time.perf_counter()
         with self._lock:

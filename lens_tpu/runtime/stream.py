@@ -56,6 +56,13 @@ SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 
 
+def substeps_for(timebin_ms: float) -> int:
+    """Integration granularity for one bin: one substep per ms (chip-like),
+    capped at 1000 — the single source of truth for every consumer (streaming
+    loop, live ingest, serving sessions)."""
+    return int(min(max(timebin_ms, 1), 1000))
+
+
 @jax.jit
 def stream_forward_counts_carry(
     qparams: QuantizedParams,
@@ -219,7 +226,7 @@ def live_aer_bin_source(cfg: LensConfig, line_source):
     producer and the network never wait for end-of-stream."""
     lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
     sess = events_native.StreamSession(
-        cfg.timebin / 1000.0, lut, substeps=int(min(max(cfg.timebin, 1), 1000)),
+        cfg.timebin / 1000.0, lut, substeps=substeps_for(cfg.timebin),
         n_in=cfg.dims * cfg.dims,
     )
     try:
@@ -391,8 +398,7 @@ def run_event_driven(cfg: LensConfig):
         )
         logger.info(f"Live dashboard: {matcher.dashboard_url}")
     spike_log: list = []
-    # Integration granularity: one step per ms of the bin (chip-like), capped.
-    steps = int(min(max(cfg.timebin, 1), 1000))
+    steps = substeps_for(cfg.timebin)
 
     if cfg.event_file == "-":
         # LIVE ingest: text AER lines arriving on stdin feed the native ring

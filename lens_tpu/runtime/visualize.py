@@ -88,8 +88,7 @@ class LiveDashboard:
     def __init__(self, history: int = 200, match_window: int = 50):
         self._lock = threading.Lock()
         self._frame: Optional[np.ndarray] = None  # raw; encoded lazily
-        self._frame_png: Optional[str] = None  # cache, keyed by _frame_bin
-        self._frame_bin = -1
+        self._frame_png: Optional[str] = None  # cache, keyed by _png_bin
         self._png_bin = -1
         self._rails = {r: deque(maxlen=history) for r in RAILS}
         self._matches: deque = deque(maxlen=match_window)
@@ -112,8 +111,7 @@ class LiveDashboard:
         # so the streaming hot loop pays nothing when no browser is polling.
         with self._lock:
             self._bin = bin_idx
-            self._frame = np.asarray(frame)
-            self._frame_bin = bin_idx
+            self._frame = np.array(frame)  # copy: encoded lazily, caller may reuse
             self._bin_spikes = int(out_spikes)
             self._total_spikes += int(out_spikes)
             for r in RAILS:
@@ -139,9 +137,9 @@ class LiveDashboard:
     # -- consumers (HTTP) ---------------------------------------------------
     def state(self) -> dict:
         with self._lock:
-            if self._frame is not None and self._png_bin != self._frame_bin:
+            if self._frame is not None and self._png_bin != self._bin:
                 self._frame_png = self._encode_frame(self._frame)
-                self._png_bin = self._frame_bin
+                self._png_bin = self._bin
             return {
                 "bin": self._bin,
                 "bin_spikes": self._bin_spikes,
