@@ -48,6 +48,137 @@ from lens_tpu.data.dataset import center_pixel_flat_indices
 from lens_tpu.models.lens import LensModel
 
 
+class _BinBatcher:
+    """Micro-batches concurrent /stream/bin dispatches into ONE device
+    program (stream_forward_counts_carry_batched): under fleet load, B
+    robots' bins advance together instead of serializing B dispatches.
+
+    A daemon worker drains a queue (blocking on the first item, then
+    collecting arrivals for a short window), groups items by quantized
+    params, pads the batch to a power of two (one compiled executable per
+    bucket), and writes each session's membranes back under the host lock.
+    A session appears at most once per batch — a second bin for the same
+    session defers to the next batch so its carry stays ordered.
+    """
+
+    def __init__(self, host: "ModelHost", window_s: float = 0.002):
+        import queue
+
+        self.host = host
+        self.window_s = window_s
+        self._q: "queue.Queue" = queue.Queue()
+        self.dispatches = 0  # device programs run
+        self.items_served = 0  # bins served (>= dispatches under load)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def run(self, sess: dict, raster: np.ndarray):
+        """Submit one bin; blocks until its batch lands.  Returns
+        (counts, bin_idx)."""
+        done = threading.Event()
+        item = {"sess": sess, "raster": raster, "done": done, "out": None}
+        self._q.put(item)
+        done.wait()
+        if isinstance(item["out"], Exception):
+            raise item["out"]
+        return item["out"]
+
+    def _worker(self) -> None:
+        import queue
+
+        while True:
+            items = [self._q.get()]
+            time.sleep(self.window_s)  # let concurrent arrivals join
+            while True:
+                try:
+                    items.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            # One bin per session per batch: defer duplicates.
+            batch, deferred, seen = [], [], set()
+            for it in items:
+                sid = id(it["sess"])
+                (deferred if sid in seen else batch).append(it)
+                seen.add(sid)
+            for it in deferred:
+                self._q.put(it)
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — surface to all waiters
+                for it in batch:
+                    it["out"] = e
+                    it["done"].set()
+
+    def _dispatch(self, batch) -> None:
+        import jax.numpy as jnp
+
+        from lens_tpu.runtime.stream import (
+            stream_forward_counts_carry,
+            stream_forward_counts_carry_batched,
+        )
+
+        # Group by quantized params (sessions opened with the same thresholds
+        # share one cached QuantizedParams, so fleet sessions batch together).
+        groups: dict = {}
+        for it in batch:
+            groups.setdefault(id(it["sess"]["qp"]), []).append(it)
+        with self.host._lock:
+            for its in groups.values():
+                qp = its[0]["sess"]["qp"]
+                if len(its) == 1:
+                    it = its[0]
+                    sess = it["sess"]
+                    counts, sess["v_feat"], sess["v_out"], _ = (
+                        stream_forward_counts_carry(
+                            qp, jnp.asarray(it["raster"]),
+                            sess["v_feat"], sess["v_out"],
+                        )
+                    )
+                    self._finish(it, np.asarray(counts))
+                    continue
+                b = len(its)
+                b_pad = 1 << (b - 1).bit_length()
+                rasters = np.zeros(
+                    (b_pad,) + its[0]["raster"].shape, its[0]["raster"].dtype
+                )
+                for i, it in enumerate(its):
+                    rasters[i] = it["raster"]
+                vf = jnp.concatenate(
+                    [jnp.stack([it["sess"]["v_feat"] for it in its])]
+                    + (
+                        [jnp.zeros((b_pad - b, qp.w_feat.shape[1]), jnp.int32)]
+                        if b_pad > b
+                        else []
+                    )
+                )
+                vo = jnp.concatenate(
+                    [jnp.stack([it["sess"]["v_out"] for it in its])]
+                    + (
+                        [jnp.zeros((b_pad - b, qp.w_out.shape[1]), jnp.int32)]
+                        if b_pad > b
+                        else []
+                    )
+                )
+                counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
+                    qp, jnp.asarray(rasters), vf, vo
+                )
+                counts_np = np.asarray(counts_b)
+                for i, it in enumerate(its):
+                    it["sess"]["v_feat"] = vf_b[i]
+                    it["sess"]["v_out"] = vo_b[i]
+                    self._finish(it, counts_np[i])
+            self.dispatches += len(groups)
+            self.items_served += len(batch)
+
+    def _finish(self, it, counts: np.ndarray) -> None:
+        sess = it["sess"]
+        bin_idx = sess["bins"]
+        sess["bins"] += 1
+        sess["last_used"] = time.monotonic()
+        it["out"] = (counts, bin_idx)
+        it["done"].set()
+
+
 class ModelHost:
     """Thread-safe wrapper owning the compiled model + request statistics."""
 
@@ -62,6 +193,8 @@ class ModelHost:
         self._session_seq = 0
         self.max_sessions = 64  # bound host memory: evict the stalest session
         self._px_rows = self._px_cols = None  # lazy center-pixel index cache
+        self._qp_cache: dict = {}  # thresholds mode -> shared QuantizedParams
+        self._batcher: Optional[_BinBatcher] = None
         # Warm-up compile so the first request pays no compilation latency.
         warm = np.zeros((1, cfg.input), np.float32)
         self.model.spike_counts(warm)
@@ -96,8 +229,15 @@ class ModelHost:
         from lens_tpu.runtime.speck_sim import discretize
         from lens_tpu.runtime.stream import STREAM_THRESHOLDS
 
-        thr = STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
-        qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
+        # One shared QuantizedParams per thresholds mode: fleet sessions with
+        # the same mode micro-batch into one device program (_BinBatcher).
+        qp = self._qp_cache.get(thresholds)
+        if qp is None:
+            thr = STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
+            qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
+            self._qp_cache[thresholds] = qp
+        if self._batcher is None:
+            self._batcher = _BinBatcher(self)
         with self._lock:
             # Bounded session table: a client that never closes cannot grow
             # host memory without bound — the least-recently-used session is
@@ -120,14 +260,8 @@ class ModelHost:
         return {"session": sid, "thresholds": thresholds}
 
     def stream_bin(self, sid: str, frame_u8: np.ndarray) -> dict:
-        import jax.numpy as jnp
-
         from lens_tpu.data.dataset import center_pixel_indices
-        from lens_tpu.runtime.stream import (
-            even_spread_raster,
-            stream_forward_counts_carry,
-            substeps_for,
-        )
+        from lens_tpu.runtime.stream import even_spread_raster, substeps_for
 
         if self._px_rows is None:
             self._px_rows, self._px_cols = center_pixel_indices(
@@ -141,17 +275,11 @@ class ModelHost:
         t0 = time.perf_counter()
         with self._lock:
             sess = self._sessions.get(sid)
-            if sess is None:
-                raise KeyError(f"unknown session {sid}")
-            counts, sess["v_feat"], sess["v_out"], _ = stream_forward_counts_carry(
-                sess["qp"], jnp.asarray(raster), sess["v_feat"], sess["v_out"]
-            )
-            counts = np.asarray(counts)
-            # Bin numbering under the same lock as the membrane update, so a
-            # response's index always matches its carry position.
-            bin_idx = sess["bins"]
-            sess["bins"] += 1
-            sess["last_used"] = time.monotonic()
+        if sess is None:
+            raise KeyError(f"unknown session {sid}")
+        # The batcher serializes each session's carry and micro-batches
+        # concurrent sessions into one device program.
+        counts, bin_idx = self._batcher.run(sess, raster)
         return {
             "session": sid,
             "bin": bin_idx,
@@ -178,7 +306,15 @@ class ModelHost:
             if len(lat)
             else {}
         )
-        return {"requests": self.requests, **pct}
+        batch = (
+            {
+                "stream_bins": self._batcher.items_served,
+                "stream_dispatches": self._batcher.dispatches,
+            }
+            if self._batcher is not None
+            else {}
+        )
+        return {"requests": self.requests, **pct, **batch}
 
 
 def _make_handler(host: ModelHost):

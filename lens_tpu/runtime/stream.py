@@ -103,6 +103,23 @@ def stream_forward_counts_carry(
     return acc, v2, v3, feat_total
 
 
+@jax.jit
+def stream_forward_counts_carry_batched(
+    qparams: QuantizedParams,
+    rasters: jnp.ndarray,  # (B, S, n_in) int32 — one bin per stream
+    v_feat: jnp.ndarray,  # (B, n_feat) int32
+    v_out: jnp.ndarray,  # (B, n_out) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """B concurrent streams advance one bin in ONE device program (fleet
+    serving: the per-substep GEMMs batch into (B, n_in) x (n_in, F) MXU
+    work instead of B serial dispatches).  Each stream's result is
+    bit-identical to the single-stream carry (vmap adds a batch axis to
+    elementwise ops and GEMM rows; no reduction is restructured)."""
+    return jax.vmap(
+        lambda r, vf, vo: stream_forward_counts_carry(qparams, r, vf, vo)
+    )(rasters, v_feat, v_out)
+
+
 def even_spread_raster(counts: np.ndarray, steps: int) -> np.ndarray:
     """(n_in,) per-bin counts -> (steps, n_in) deterministic raster: substep t
     carries floor(c*(t+1)/steps) - floor(c*t/steps) spikes, preserving totals

@@ -137,6 +137,7 @@ def test_stream_session_table_is_bounded(server):
     """Opening sessions without closing must evict the stalest instead of
     growing host memory without bound."""
     _, host, port = server
+    prev = host.max_sessions
     host.max_sessions = 4
     sids = [_post(port, "/stream/open")["session"] for _ in range(6)]
     assert len(host._sessions) == 4
@@ -144,4 +145,83 @@ def test_stream_session_table_is_bounded(server):
     assert sids[0] not in host._sessions and sids[1] not in host._sessions
     assert sids[-1] in host._sessions
     for sid in sids[2:]:
+        _post(port, "/stream/close", headers={"X-Session": sid})
+    host.max_sessions = prev  # module-scoped host: don't poison later tests
+
+
+def test_concurrent_sessions_micro_batch_correctly(server, tiny_dataset_cfg):
+    """Fleet load: N concurrent sessions advance bins simultaneously; the
+    batcher must (a) produce the SAME counts each session would get alone
+    (bit-exact vs a serial reference run), (b) keep every session's carry
+    ordered, and (c) actually batch (fewer dispatches than bins)."""
+    _, host, port = server
+    cfg = tiny_dataset_cfg
+    n_sessions, n_bins = 6, 3
+    rng = np.random.default_rng(9)
+    frames = rng.integers(
+        0, 255, (n_sessions, n_bins, cfg.roi_dim, cfg.roi_dim)
+    ).astype(np.uint8)
+
+    assert host.max_sessions >= n_sessions  # all sessions must stay live
+    d0 = host._batcher.dispatches if host._batcher else 0
+    sids = [
+        _post(port, "/stream/open", json.dumps({"thresholds": "unit"}).encode())[
+            "session"
+        ]
+        for _ in range(n_sessions)
+    ]
+
+    results = [[None] * n_bins for _ in range(n_sessions)]
+    barrier = threading.Barrier(n_sessions)
+
+    def client(s):
+        for b in range(n_bins):
+            barrier.wait()  # all sessions hit the host at once
+            results[s][b] = _post(
+                port, "/stream/bin", frames[s, b].tobytes(), {"X-Session": sids[s]}
+            )
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(n_sessions)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # (b) carry ordering: bin indices are 0..n_bins-1 per session.
+    for s in range(n_sessions):
+        assert [r["bin"] for r in results[s]] == list(range(n_bins))
+
+    # (a) bit-exact vs the serial single-stream computation.
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import SpikeThresholds
+    from lens_tpu.data.dataset import center_pixel_indices
+    from lens_tpu.runtime.speck_sim import discretize
+    from lens_tpu.runtime.stream import (
+        even_spread_raster,
+        stream_forward_counts_carry,
+        substeps_for,
+    )
+
+    qp = discretize(host.model.params, SpikeThresholds(), cfg.min_v_mem)
+    rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
+    steps = substeps_for(cfg.timebin)
+    for s in range(n_sessions):
+        vf = jnp.zeros((qp.w_feat.shape[1],), jnp.int32)
+        vo = jnp.zeros((qp.w_out.shape[1],), jnp.int32)
+        for b in range(n_bins):
+            down = frames[s, b][rows][:, cols].astype(np.int64).reshape(-1)
+            c, vf, vo, _ = stream_forward_counts_carry(
+                qp, jnp.asarray(even_spread_raster(down, steps)), vf, vo
+            )
+            assert results[s][b]["counts"] == np.asarray(c).astype(int).tolist()
+
+    # (c) batching happened: strictly fewer device programs than bins served.
+    stats = _get(port, "/stats")
+    served = stats["stream_bins"]
+    dispatched = stats["stream_dispatches"] - d0
+    assert served >= n_sessions * n_bins
+    assert dispatched < n_sessions * n_bins
+
+    for sid in sids:
         _post(port, "/stream/close", headers={"X-Session": sid})
