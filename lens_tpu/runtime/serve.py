@@ -88,7 +88,10 @@ class _BinBatcher:
 
         while True:
             items = [self._q.get()]
-            time.sleep(self.window_s)  # let concurrent arrivals join
+            # Only pay the batching window when other sessions could actually
+            # join (a lone robot's bins must not eat 2 ms of pure sleep each).
+            if len(self.host._sessions) > 1:
+                time.sleep(self.window_s)
             while True:
                 try:
                     items.append(self._q.get_nowait())
@@ -102,21 +105,9 @@ class _BinBatcher:
                 seen.add(sid)
             for it in deferred:
                 self._q.put(it)
-            try:
-                self._dispatch(batch)
-            except Exception as e:  # noqa: BLE001 — surface to all waiters
-                for it in batch:
-                    it["out"] = e
-                    it["done"].set()
+            self._dispatch(batch)
 
     def _dispatch(self, batch) -> None:
-        import jax.numpy as jnp
-
-        from lens_tpu.runtime.stream import (
-            stream_forward_counts_carry,
-            stream_forward_counts_carry_batched,
-        )
-
         # Group by quantized params (sessions opened with the same thresholds
         # share one cached QuantizedParams, so fleet sessions batch together).
         groups: dict = {}
@@ -124,51 +115,58 @@ class _BinBatcher:
             groups.setdefault(id(it["sess"]["qp"]), []).append(it)
         with self.host._lock:
             for its in groups.values():
-                qp = its[0]["sess"]["qp"]
-                if len(its) == 1:
-                    it = its[0]
-                    sess = it["sess"]
-                    counts, sess["v_feat"], sess["v_out"], _ = (
-                        stream_forward_counts_carry(
-                            qp, jnp.asarray(it["raster"]),
-                            sess["v_feat"], sess["v_out"],
-                        )
-                    )
-                    self._finish(it, np.asarray(counts))
-                    continue
-                b = len(its)
-                b_pad = 1 << (b - 1).bit_length()
-                rasters = np.zeros(
-                    (b_pad,) + its[0]["raster"].shape, its[0]["raster"].dtype
-                )
-                for i, it in enumerate(its):
-                    rasters[i] = it["raster"]
-                vf = jnp.concatenate(
-                    [jnp.stack([it["sess"]["v_feat"] for it in its])]
-                    + (
-                        [jnp.zeros((b_pad - b, qp.w_feat.shape[1]), jnp.int32)]
-                        if b_pad > b
-                        else []
-                    )
-                )
-                vo = jnp.concatenate(
-                    [jnp.stack([it["sess"]["v_out"] for it in its])]
-                    + (
-                        [jnp.zeros((b_pad - b, qp.w_out.shape[1]), jnp.int32)]
-                        if b_pad > b
-                        else []
-                    )
-                )
-                counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
-                    qp, jnp.asarray(rasters), vf, vo
-                )
-                counts_np = np.asarray(counts_b)
-                for i, it in enumerate(its):
-                    it["sess"]["v_feat"] = vf_b[i]
-                    it["sess"]["v_out"] = vo_b[i]
-                    self._finish(it, counts_np[i])
+                try:
+                    self._dispatch_group(its)
+                except Exception as e:  # noqa: BLE001 — fail ONLY this group:
+                    # other groups' sessions already advanced and completed.
+                    for it in its:
+                        if not it["done"].is_set():
+                            it["out"] = e
+                            it["done"].set()
             self.dispatches += len(groups)
             self.items_served += len(batch)
+
+    def _dispatch_group(self, its) -> None:
+        import jax.numpy as jnp
+
+        from lens_tpu.runtime.stream import (
+            stream_forward_counts_carry,
+            stream_forward_counts_carry_batched,
+        )
+
+        qp = its[0]["sess"]["qp"]
+        if len(its) == 1:
+            it = its[0]
+            sess = it["sess"]
+            counts, sess["v_feat"], sess["v_out"], _ = stream_forward_counts_carry(
+                qp, jnp.asarray(it["raster"]), sess["v_feat"], sess["v_out"]
+            )
+            self._finish(it, np.asarray(counts))
+            return
+        b = len(its)
+        b_pad = 1 << (b - 1).bit_length()  # one compiled executable per bucket
+        rasters = np.zeros((b_pad,) + its[0]["raster"].shape, its[0]["raster"].dtype)
+        for i, it in enumerate(its):
+            rasters[i] = it["raster"]
+
+        def stack_padded(rows, width):
+            stacked = jnp.stack(rows)
+            if b_pad == b:
+                return stacked
+            return jnp.concatenate(
+                [stacked, jnp.zeros((b_pad - b, width), jnp.int32)]
+            )
+
+        vf = stack_padded([it["sess"]["v_feat"] for it in its], qp.w_feat.shape[1])
+        vo = stack_padded([it["sess"]["v_out"] for it in its], qp.w_out.shape[1])
+        counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
+            qp, jnp.asarray(rasters), vf, vo
+        )
+        counts_np = np.asarray(counts_b)
+        for i, it in enumerate(its):
+            it["sess"]["v_feat"] = vf_b[i]
+            it["sess"]["v_out"] = vo_b[i]
+            self._finish(it, counts_np[i])
 
     def _finish(self, it, counts: np.ndarray) -> None:
         sess = it["sess"]
@@ -229,16 +227,26 @@ class ModelHost:
         from lens_tpu.runtime.speck_sim import discretize
         from lens_tpu.runtime.stream import STREAM_THRESHOLDS
 
-        # One shared QuantizedParams per thresholds mode: fleet sessions with
-        # the same mode micro-batch into one device program (_BinBatcher).
-        qp = self._qp_cache.get(thresholds)
-        if qp is None:
-            thr = STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
-            qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
-            self._qp_cache[thresholds] = qp
-        if self._batcher is None:
-            self._batcher = _BinBatcher(self)
+        if thresholds not in ("chip", "unit"):
+            raise ValueError(
+                f"unknown thresholds mode {thresholds!r} (use 'chip' or 'unit')"
+            )
         with self._lock:
+            # One shared QuantizedParams per thresholds mode (the validated
+            # set bounds the cache at two entries): fleet sessions with the
+            # same mode micro-batch into one device program (_BinBatcher).
+            # Cache + batcher init live under the lock — a racing pair of
+            # opens must not create distinct qp objects (which would never
+            # share a batch) or a second worker thread.
+            qp = self._qp_cache.get(thresholds)
+            if qp is None:
+                thr = (
+                    STREAM_THRESHOLDS if thresholds == "chip" else SpikeThresholds()
+                )
+                qp = discretize(self.model.params, thr, self.cfg.min_v_mem)
+                self._qp_cache[thresholds] = qp
+            if self._batcher is None:
+                self._batcher = _BinBatcher(self)
             # Bounded session table: a client that never closes cannot grow
             # host memory without bound — the least-recently-used session is
             # evicted (each holds a quantized weight copy + membranes).
@@ -386,6 +394,8 @@ def _make_handler(host: ModelHost):
                     self._send(404, {"error": "unknown path"})
             except KeyError as e:
                 self._send(404, {"error": str(e)})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - surface to the client
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

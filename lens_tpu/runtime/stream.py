@@ -250,6 +250,7 @@ def live_aer_bin_source(cfg: LensConfig, line_source):
         buf_t: list = []
         buf_x: list = []
         buf_y: list = []
+        last_feed = time.monotonic()
 
         def _feed_buf():
             sess.feed(
@@ -274,8 +275,12 @@ def live_aer_bin_source(cfg: LensConfig, line_source):
             buf_t.append(tv)
             buf_x.append(xv)
             buf_y.append(yv)
-            if len(buf_t) >= 4096:
+            # Feed on size OR a time deadline: a sparse live stream must not
+            # sit on completed bins until 4096 events accumulate — the
+            # contract is "yielded the moment the bin completes".
+            if len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05:
                 _feed_buf()
+                last_feed = time.monotonic()
                 while (out := sess.poll()) is not None:
                     yield out[1], out[0]
         if buf_t:
@@ -470,10 +475,12 @@ def run_event_driven(cfg: LensConfig):
     try:
         for i, (raster, frame) in enumerate(bins_iter):
             t_bin = time.perf_counter()
-            counts_dev, v_feat, v_out, feat_spikes = stream_forward_counts_carry(
+            counts_dev, v_feat, v_out, feat_dev = stream_forward_counts_carry(
                 qparams, jnp.asarray(raster), v_feat, v_out
             )
-            counts = np.asarray(counts_dev)
+            # One host fetch for both outputs: a separate float(feat) scalar
+            # fetch is a second blocking roundtrip per bin on the relay.
+            counts, feat_spikes = jax.device_get((counts_dev, feat_dev))
             dur = max(time.perf_counter() - t_bin, 1e-9)
             n_events = float(frame.sum())
             # synops = input spikes x fan-out per layer (power.py): layer 2's

@@ -196,7 +196,7 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
     )
 
     def train_one_layer(name, state, hyper, inputs, shuffle_key, epochs,
-                        prev_fire_rate=None):
+                        prev_fire_rate=None, prepare_state=None):
         log(f"Training layer: {name}")
         total = int(cfg.reference_places * epochs)  # train_model.py:144
         order = make_sample_stream(shuffle_key, n, epochs)
@@ -206,6 +206,11 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
             loaded = load_layer_state(ckpt)
             if loaded is not None:
                 state, start_epoch = loaded
+                if prepare_state is not None:
+                    # Re-establish sharding/padding on the loaded host arrays
+                    # (checkpoints store gathered numpy; a resumed TP run
+                    # would otherwise train unsharded on one device).
+                    state = prepare_state(state)
                 log(f"  resumed {name} at epoch {start_epoch}")
         block = max(1, checkpoint_every)
         for e0 in range(start_epoch, epochs, block):
@@ -234,8 +239,7 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
     # Frozen feature responses for every sample, one batched GEMM
     # (replaces the per-step prev-layer pass of train_model.py:163-168).
     feat_spikes = clamp_spikes(X @ feat_state.w, feat_state.thr)
-    if tp_mesh is not None and out_state.w.shape[1] == cfg.output:
-        # (The shape guard skips re-padding when resuming a sharded run.)
+    if tp_mesh is not None:
         out_state = _pad_and_shard_output_state(out_state, tp_mesh)
     out_state = train_one_layer(
         "output_layer",
@@ -245,6 +249,14 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
         k_out_shuf,
         cfg.epoch_out,
         prev_fire_rate=feat_state.fire_rate,
+        # A resumed checkpoint holds gathered (possibly already-padded) host
+        # arrays; _pad_and_shard_output_state is idempotent (pad of 0) and
+        # restores the 'model'-axis placement.
+        prepare_state=(
+            (lambda s: _pad_and_shard_output_state(s, tp_mesh))
+            if tp_mesh is not None
+            else None
+        ),
     )
 
     return LensParams(
