@@ -134,38 +134,41 @@ class _BinBatcher:
             stream_forward_counts_carry_batched,
         )
 
+        import jax
+
+        # Session membranes live as HOST numpy: one h2d rides the dispatch
+        # and one device_get fetches everything — per-row device slices or
+        # device-side stacks would each be a relay roundtrip (measured: a
+        # 4-session wave cost ~15 roundtrips ≈ 750 ms through the tunnel).
         qp = its[0]["sess"]["qp"]
         if len(its) == 1:
             it = its[0]
             sess = it["sess"]
-            counts, sess["v_feat"], sess["v_out"], _ = stream_forward_counts_carry(
+            counts_d, vf_d, vo_d, _ = stream_forward_counts_carry(
                 qp, jnp.asarray(it["raster"]), sess["v_feat"], sess["v_out"]
             )
-            self._finish(it, np.asarray(counts))
+            counts, sess["v_feat"], sess["v_out"] = jax.device_get(
+                (counts_d, vf_d, vo_d)
+            )
+            self._finish(it, counts)
             return
         b = len(its)
         b_pad = 1 << (b - 1).bit_length()  # one compiled executable per bucket
         rasters = np.zeros((b_pad,) + its[0]["raster"].shape, its[0]["raster"].dtype)
         for i, it in enumerate(its):
             rasters[i] = it["raster"]
-
-        def stack_padded(rows, width):
-            stacked = jnp.stack(rows)
-            if b_pad == b:
-                return stacked
-            return jnp.concatenate(
-                [stacked, jnp.zeros((b_pad - b, width), jnp.int32)]
-            )
-
-        vf = stack_padded([it["sess"]["v_feat"] for it in its], qp.w_feat.shape[1])
-        vo = stack_padded([it["sess"]["v_out"] for it in its], qp.w_out.shape[1])
-        counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
-            qp, jnp.asarray(rasters), vf, vo
-        )
-        counts_np = np.asarray(counts_b)
+        vf = np.zeros((b_pad, qp.w_feat.shape[1]), np.int32)
+        vo = np.zeros((b_pad, qp.w_out.shape[1]), np.int32)
         for i, it in enumerate(its):
-            it["sess"]["v_feat"] = vf_b[i]
-            it["sess"]["v_out"] = vo_b[i]
+            vf[i] = it["sess"]["v_feat"]
+            vo[i] = it["sess"]["v_out"]
+        counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
+            qp, jnp.asarray(rasters), jnp.asarray(vf), jnp.asarray(vo)
+        )
+        counts_np, vf_np, vo_np = jax.device_get((counts_b, vf_b, vo_b))
+        for i, it in enumerate(its):
+            it["sess"]["v_feat"] = vf_np[i]
+            it["sess"]["v_out"] = vo_np[i]
             self._finish(it, counts_np[i])
 
     def _finish(self, it, counts: np.ndarray) -> None:
@@ -221,8 +224,6 @@ class ModelHost:
     def stream_open(self, thresholds: str = "chip") -> dict:
         """New online session: quantized network + fresh membranes that
         persist across this session's bins (chip semantics)."""
-        import jax.numpy as jnp
-
         from lens_tpu.core.network import SpikeThresholds
         from lens_tpu.runtime.speck_sim import discretize
         from lens_tpu.runtime.stream import STREAM_THRESHOLDS
@@ -259,8 +260,8 @@ class ModelHost:
             sid = f"s{self._session_seq}"
             self._sessions[sid] = {
                 "qp": qp,
-                "v_feat": jnp.zeros((qp.w_feat.shape[1],), jnp.int32),
-                "v_out": jnp.zeros((qp.w_out.shape[1],), jnp.int32),
+                "v_feat": np.zeros((qp.w_feat.shape[1],), np.int32),
+                "v_out": np.zeros((qp.w_out.shape[1],), np.int32),
                 "bins": 0,
                 "thresholds": thresholds,
                 "last_used": time.monotonic(),
