@@ -173,3 +173,28 @@ def test_rasterize_events_fuzz_totals_and_cap():
         rc = rasterize_bin_events(t_rel, pix, timebin, S, n_in, hot_cap=cap)
         np.testing.assert_array_equal(rc.sum(axis=0), np.minimum(totals, cap))
         assert (rc >= 0).all() and (r >= 0).all()
+
+
+def test_batched_carry_matches_per_stream(qparams):
+    """stream_forward_counts_carry_batched must equal B independent
+    single-stream carries bit-for-bit (vmap adds a batch axis only)."""
+    from lens_tpu.runtime.stream import stream_forward_counts_carry_batched
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    for b in (1, 3, 5):
+        rasters = rng.integers(0, 4, (b, 12, 16)).astype(np.int32)
+        vf0 = rng.integers(-5, 5, (b, 32)).astype(np.int32)
+        vo0 = rng.integers(-5, 5, (b, 8)).astype(np.int32)
+        cb, vfb, vob, fb = stream_forward_counts_carry_batched(
+            qparams, jnp.asarray(rasters), jnp.asarray(vf0), jnp.asarray(vo0)
+        )
+        for i in range(b):
+            c, vf, vo, f = stream_forward_counts_carry(
+                qparams, jnp.asarray(rasters[i]),
+                jnp.asarray(vf0[i]), jnp.asarray(vo0[i]),
+            )
+            np.testing.assert_array_equal(np.asarray(cb)[i], np.asarray(c))
+            np.testing.assert_array_equal(np.asarray(vfb)[i], np.asarray(vf))
+            np.testing.assert_array_equal(np.asarray(vob)[i], np.asarray(vo))
+            assert int(np.asarray(fb)[i]) == int(f)
