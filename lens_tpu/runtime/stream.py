@@ -16,9 +16,17 @@ the race); here the pipeline is a single ordered loop over timebins, so the
 shared-state race cannot exist by construction.
 
 Event sources:
-  - `--event_file file.txt|file.npy`: replay a recorded DVS stream
-  - otherwise: replay the query traverse's PNG event frames (each PNG is one
-    accumulated timebin, the format collect_data produces)
+  - `--event_file file.txt|file.npy`: a recorded DVS stream, integrated at
+    EVENT TIME (each event lands in the substep its timestamp falls in)
+  - `--event_file -`: LIVE text AER lines on stdin through the native ring
+    session (events_native.StreamSession); bins process as they complete
+  - otherwise: replay the query traverse's PNG event frames (no timestamps,
+    so counts spread evenly over the bin's substeps)
+
+Membranes persist across bins in every source (the chip's network runs
+continuously; the collection interval only reads out counts), and a live
+dashboard (runtime/visualize.py) serves activity/power/matches unless
+--headless.
 """
 
 from __future__ import annotations
