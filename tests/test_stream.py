@@ -198,3 +198,40 @@ def test_batched_carry_matches_per_stream(qparams):
             np.testing.assert_array_equal(np.asarray(vfb)[i], np.asarray(vf))
             np.testing.assert_array_equal(np.asarray(vob)[i], np.asarray(vo))
             assert int(np.asarray(fb)[i]) == int(f)
+
+
+def test_interrupted_stream_flushes_artifacts(tiny_dataset_cfg, monkeypatch, tmp_path):
+    """A crash mid-stream must still leave spike_data/power_data current
+    (the periodic-flush schedule replaced an implicitly crash-durable
+    per-bin save; the finally block restores that property)."""
+    import os
+    from dataclasses import replace
+
+    import lens_tpu.runtime.stream as sm
+
+    # Ensure a model exists for the tiny config.
+    from lens_tpu.train_model import run_training
+
+    cfg = replace(tiny_dataset_cfg, event_driven=True, headless=True,
+                  output_base=str(tmp_path / "out"))
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True, event_driven=False))
+
+    real = sm.stream_forward_counts_carry
+    calls = {"n": 0}
+
+    def dying(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated device failure at bin 4")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sm, "stream_forward_counts_carry", dying)
+    with pytest.raises(RuntimeError):
+        sm.run_event_driven(cfg)
+
+    out_dir = sorted((tmp_path / "out").iterdir())[-1]
+    spikes = np.load(out_dir / "spike_data.npy")
+    assert spikes.shape[0] == 3  # bins completed before the crash
+    assert (out_dir / "power_data.npy").exists()
