@@ -1,6 +1,6 @@
 # LENS-TPU development targets
 
-.PHONY: test bench native example infer train sweep serve clean
+.PHONY: test bench native example infer train sweep serve stream dryrun clean
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -22,6 +22,12 @@ sweep:
 
 serve:
 	python -m lens_tpu.runtime.serve --port 8471
+
+stream:
+	python main.py --event_driven
+
+dryrun:
+	python __graft_entry__.py --dryrun
 
 example:
 	python examples/full_workflow.py
