@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lens_tpu.config import LensConfig
-from lens_tpu.core.network import LensParams, forward_counts
+from lens_tpu.core.network import LensParams, forward_counts_stepwise
 from lens_tpu.core.stdp import clamp_spikes, train_layer_scan
 from lens_tpu.data.dataset import FrameDataset
 from lens_tpu.metrics.gt import make_gt_tolerant
@@ -165,7 +165,11 @@ def run_sweep(
     )
     # Epoch-block chunking (as in train_model.train): shorter scans compile
     # reliably on the remote TPU toolchain and bound per-dispatch latency.
-    block = 32 * n
+    # Cap the chunk at ~4096 scan steps regardless of dataset size — longer
+    # STDP scan modules have hung the remote compiler (BENCHMARKS.md notes);
+    # chunk boundaries cannot change results (the annealing clock uses
+    # start_step; resume-equality is tested).
+    block = min(32, max(1, 4096 // n)) * n
 
     def feat_chunk(st_b, sl, start):
         return jax.vmap(
@@ -195,7 +199,11 @@ def run_sweep(
         w_feat=feat_b.w, w_out=out_b.w, thr_feat=feat_b.thr, thr_out=out_b.thr
     )
     counts_b = jax.vmap(
-        lambda p: forward_counts(p, q_intens, u_thresh, min_v_mem=cfg.min_v_mem)
+        # Stepwise scan, not the hoisted forward: the hoist materializes
+        # (T, Q, n) tensors which, vmapped over trials, exceed HBM on large
+        # datasets (e.g. 8 trials x T=1000 x 724 x 641 f32 = 17.9 GB).  The
+        # scan's footprint is the (trials, Q, n) carries only.
+        lambda p: forward_counts_stepwise(p, q_intens, u_thresh, min_v_mem=cfg.min_v_mem)
     )(params_b)
     counts_b = np.asarray(counts_b)[:n_trials]  # drop mesh padding
     trials = trials[:n_trials]

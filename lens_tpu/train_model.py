@@ -212,7 +212,10 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
                     # would otherwise train unsharded on one device).
                     state = prepare_state(state)
                 log(f"  resumed {name} at epoch {start_epoch}")
-        block = max(1, checkpoint_every)
+        # Cap each scan chunk at ~4096 steps: longer STDP scan modules have
+        # hung the remote TPU compiler (chunking cannot change results — the
+        # annealing clock uses start_step; resume-equality is tested).
+        block = min(max(1, checkpoint_every), max(1, 4096 // n))
         for e0 in range(start_epoch, epochs, block):
             e1 = min(e0 + block, epochs)
             sl = slice(e0 * n, e1 * n)
