@@ -42,3 +42,38 @@ def test_from_scratch_beats_pretrained_reference(tmp_path):
     assert res.recall_at_n[0] >= 0.68, res.recall_at_n
     for ours, theirs in zip(res.recall_at_n[1:], PRETRAINED_GOLDEN[1:]):
         assert ours >= theirs - 0.01, (res.recall_at_n, PRETRAINED_GOLDEN)
+
+
+def test_bundled_swept_checkpoint_recall():
+    """The bundled from-scratch checkpoint (trained-example_*) reproduces the
+    beats-reference table exactly — users get the better model out of the
+    box via LensModel.from_checkpoint(cfg, "trained-example_...")."""
+    import numpy as np
+
+    from lens_tpu.data.dataset import FrameDataset
+    from lens_tpu.metrics.gt import make_gt_tolerant
+    from lens_tpu.metrics.vpr import recall_at_k
+    from lens_tpu.models.lens import LensModel
+    from lens_tpu.ops.seqmatch import sequence_conv
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = LensConfig(
+        data_dir=os.path.join(root, "lens", "dataset") + os.sep,
+        models_dir=os.path.join(root, "lens", "models"),
+    )
+    m = LensModel.from_checkpoint(cfg, "trained-example_LENS_IN100_FN200_DB100.pth")
+    ds = FrameDataset.load(
+        os.path.join(cfg.data_dir, "example-query.csv"),
+        os.path.join(cfg.data_dir, "example", "davis128", "example-query"),
+        max_samples=100,
+    )
+    counts = m.spike_counts(ds.query_intensities_downsampled(10))
+    dist = np.asarray(sequence_conv(counts.astype(np.float64), 2))
+    GT = np.load(
+        os.path.join(
+            cfg.data_dir, "example", "davis128", "example-reference_example-query_GT.npy"
+        )
+    )
+    GTtol = make_gt_tolerant(GT, 2, 3)
+    R = [round(recall_at_k(dist, GTtol, K=k), 2) for k in (1, 5, 10, 15, 20, 25)]
+    assert R == [0.7, 0.89, 0.97, 0.99, 0.99, 0.99]
