@@ -74,7 +74,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.lens_stream_open.argtypes = [
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64,
     ]
     lib.lens_stream_feed.restype = None
     lib.lens_stream_feed.argtypes = [
@@ -331,6 +331,13 @@ class StreamSession:
     toolchain is available, with a bit-identical numpy fallback otherwise.
     """
 
+    # Default corruption guard: one malformed AER line with a far-future
+    # timestamp must not flood the consumer with empty bins or advance the
+    # stream clock past all real events.  Empty-bin runs are O(1) memory
+    # either way (stored as counters, synthesized at poll); this bounds how
+    # far a single event may jump the clock.  1M bins = ~70 h at 250 ms.
+    DEFAULT_MAX_GAP_BINS = 1_000_000
+
     def __init__(
         self,
         timebin_s: float,
@@ -340,6 +347,7 @@ class StreamSession:
         hot_cap: Optional[int] = None,
         n_in: Optional[int] = None,
         use_native: bool = True,
+        max_gap_bins: Optional[int] = None,
     ):
         self.timebin_s = float(timebin_s)
         self.roi_x, self.roi_y = roi_origin
@@ -347,6 +355,9 @@ class StreamSession:
         self.substeps = int(substeps)
         self.n_in = int(n_in if n_in is not None else lut.max() + 1)
         self.hot_cap = hot_pixel_cap(timebin_s) if hot_cap is None else int(hot_cap)
+        self.max_gap_bins = int(
+            self.DEFAULT_MAX_GAP_BINS if max_gap_bins is None else max_gap_bins
+        )
         self._lut = np.ascontiguousarray(lut, np.int32)
         self._lib = get_lib() if use_native else None
         self._handle = None
@@ -355,15 +366,18 @@ class StreamSession:
                 self.timebin_s, self.roi_x, self.roi_y, self.roi_w, self.roi_h,
                 self.hot_cap, self.substeps,
                 self._lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                self.n_in,
+                self.n_in, self.max_gap_bins,
             )
         else:  # numpy fallback state (same transitions as the C++ struct)
             self._t0 = -1.0
             self._cur_bin = 0
             self._any = False
+            self._dirty = False
             self._frame = np.zeros((self.roi_h, self.roi_w), np.uint32)
             self._raster = np.zeros((self.substeps, self.n_in), np.int32)
+            # entries: int k = run of k empty bins; tuple = (frame, raster)
             self._ready: list = []
+            self._pending = 0
 
     # -- producer side -------------------------------------------------------
     def feed(self, t: np.ndarray, x: np.ndarray, y: np.ndarray) -> None:
@@ -390,8 +404,11 @@ class StreamSession:
             b = int(np.floor((t[i] - self._t0) / self.timebin_s))
             if b < self._cur_bin:
                 continue
+            if b - self._cur_bin > self.max_gap_bins:  # corrupt far-future line
+                continue
             while self._cur_bin < b:
                 self._close_bin()
+            self._dirty = True
             self._frame[yr, xr] += 1
             pix = int(self._lut[yr, xr])
             if pix >= 0:
@@ -411,7 +428,7 @@ class StreamSession:
     def pending(self) -> int:
         if self._handle is not None:
             return int(self._lib.lens_stream_pending(self._handle))
-        return len(self._ready)
+        return self._pending
 
     def poll(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """(frame (roi_h, roi_w) uint32, raster (substeps, n_in) int32) for
@@ -427,16 +444,40 @@ class StreamSession:
             return (frame, raster) if got else None
         if not self._ready:
             return None
+        head = self._ready[0]
+        self._pending -= 1
+        if isinstance(head, int):  # run of empty bins, synthesized lazily
+            if head == 1:
+                self._ready.pop(0)
+            else:
+                self._ready[0] = head - 1
+            return (
+                np.zeros((self.roi_h, self.roi_w), np.uint32),
+                np.zeros((self.substeps, self.n_in), np.int32),
+            )
         return self._ready.pop(0)
 
     def _close_bin(self) -> None:
-        frame = np.minimum(self._frame, self.hot_cap).astype(np.uint32)
-        cum = np.minimum(np.cumsum(self._raster, axis=0), self.hot_cap)
-        raster = np.diff(cum, axis=0, prepend=0).astype(np.int32)
+        self._pending += 1
+        self._cur_bin += 1
+        if not self._dirty:  # empty bin: extend/append a run counter
+            if self._ready and isinstance(self._ready[-1], int):
+                self._ready[-1] += 1
+            else:
+                self._ready.append(1)
+            return
+        if self.hot_cap > 0:
+            frame = np.minimum(self._frame, self.hot_cap).astype(np.uint32)
+            cum = np.minimum(np.cumsum(self._raster, axis=0), self.hot_cap)
+            raster = np.diff(cum, axis=0, prepend=0).astype(np.int32)
+        else:  # hot_cap <= 0 disables the filter (same as the C++ engine
+            # and accumulate_frames; hot_cap=0 must not zero every bin)
+            frame = self._frame.astype(np.uint32).copy()
+            raster = self._raster.copy()
         self._ready.append((frame, raster))
         self._frame[:] = 0
         self._raster[:] = 0
-        self._cur_bin += 1
+        self._dirty = False
 
     def close(self) -> None:
         if self._handle is not None:

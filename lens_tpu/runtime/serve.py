@@ -74,11 +74,16 @@ class _BinBatcher:
 
     def run(self, sess: dict, raster: np.ndarray):
         """Submit one bin; blocks until its batch lands.  Returns
-        (counts, bin_idx)."""
+        (counts, bin_idx).  Waits with a liveness check so a dead worker
+        thread surfaces as a 500 instead of wedging the endpoint forever."""
         done = threading.Event()
         item = {"sess": sess, "raster": raster, "done": done, "out": None}
         self._q.put(item)
-        done.wait()
+        while not done.wait(timeout=1.0):
+            if not self._thread.is_alive():  # defense in depth: _worker
+                # fails items rather than dying, but a wedged/killed thread
+                # must still not block clients indefinitely
+                raise RuntimeError("stream batcher worker is not running")
         if isinstance(item["out"], Exception):
             raise item["out"]
         return item["out"]
@@ -88,24 +93,34 @@ class _BinBatcher:
 
         while True:
             items = [self._q.get()]
-            # Only pay the batching window when other sessions could actually
-            # join (a lone robot's bins must not eat 2 ms of pure sleep each).
-            if len(self.host._sessions) > 1:
-                time.sleep(self.window_s)
-            while True:
-                try:
-                    items.append(self._q.get_nowait())
-                except queue.Empty:
-                    break
-            # One bin per session per batch: defer duplicates.
-            batch, deferred, seen = [], [], set()
-            for it in items:
-                sid = id(it["sess"])
-                (deferred if sid in seen else batch).append(it)
-                seen.add(sid)
-            for it in deferred:
-                self._q.put(it)
-            self._dispatch(batch)
+            # Any unexpected error in batch assembly must fail the collected
+            # items (clients get a 500), never kill the worker thread —
+            # a silently dead worker would wedge every subsequent request.
+            try:
+                # Only pay the batching window when other sessions could
+                # actually join (a lone robot's bins must not eat 2 ms of
+                # pure sleep each).
+                if len(self.host._sessions) > 1:
+                    time.sleep(self.window_s)
+                while True:
+                    try:
+                        items.append(self._q.get_nowait())
+                    except queue.Empty:
+                        break
+                # One bin per session per batch: defer duplicates.
+                batch, deferred, seen = [], [], set()
+                for it in items:
+                    sid = id(it["sess"])
+                    (deferred if sid in seen else batch).append(it)
+                    seen.add(sid)
+                for it in deferred:
+                    self._q.put(it)
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the wave, keep serving
+                for it in items:
+                    if not it["done"].is_set():
+                        it["out"] = e
+                        it["done"].set()
 
     def _dispatch(self, batch) -> None:
         # Group by quantized params (sessions opened with the same thresholds

@@ -64,6 +64,31 @@ SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 
 
+def check_stream_dot_range(qparams: QuantizedParams, n_in: int, hot_cap: int) -> None:
+    """Assert the streaming int32 drives cannot overflow for this config.
+
+    Tight worst case from the per-pixel per-BIN hot cap (the cumulative cap
+    bounds each pixel's total events per bin, however they cluster into
+    substeps): layer-1 drive to neuron j <= hot_cap * sum_i|w1_ij|; its total
+    spikes per bin <= that / thr1 + 1 (membrane-subtract leaves < thr1
+    residue), so layer-2 drive to neuron k <= sum_j s2_j |w2_jk|.  Raises
+    with a remediation hint if the bound exceeds int32.
+    """
+    w1 = np.abs(np.asarray(qparams.w_feat, np.float64))
+    w2 = np.abs(np.asarray(qparams.w_out, np.float64))
+    d1_j = float(hot_cap) * w1.sum(axis=0)
+    d1 = float(d1_j.max(initial=0.0))
+    s2_j = d1_j / max(int(qparams.thr_feat), 1) + 1.0
+    d2 = float((s2_j @ w2).max(initial=0.0))
+    if max(d1, d2) >= 2**31:
+        raise ValueError(
+            f"streaming drive bound {max(d1, d2):.3g} exceeds int32 "
+            f"(n_in={n_in}, hot_cap={hot_cap}, max|w|="
+            f"{max(float(w1.max(initial=0)), float(w2.max(initial=0))):g}); "
+            "lower --hot_pixel_rate or shorten --timebin"
+        )
+
+
 def substeps_for(timebin_ms: float) -> int:
     """Integration granularity for one bin: one substep per ms (chip-like),
     capped at 1000 — the single source of truth for every consumer (streaming
@@ -90,19 +115,23 @@ def stream_forward_counts_carry(
     Returns (output spike counts (n_out,), new v_feat, new v_out,
     total feature-layer spikes () — the second layer's synop driver for the
     power model: synops = input spikes x fan-out per layer, power.py).
+
+    The layer drives are INT32 dots: per-substep raster counts are bounded
+    only by the per-bin hot cap (e.g. 1250 at 250 ms bins) and may all land
+    in one substep, so an f32 dot (exact only below 2^24) could silently
+    misround on a dense burst over n_in inputs.  These GEMMs are tiny and
+    the streaming loop is dispatch-latency-bound, so integer arithmetic
+    costs nothing and keeps the chip simulation bit-exact for any input
+    within int32 range (guarded by stream_dot_range_ok at setup).
     """
-    wf = qparams.w_feat.astype(jnp.float32)
-    wo = qparams.w_out.astype(jnp.float32)
+    wf = qparams.w_feat
+    wo = qparams.w_out
 
     def step(carry, x_t):
         v2, v3, acc, feat_total = carry
-        h = jnp.dot(
-            x_t.astype(jnp.float32), wf, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        h = jnp.dot(x_t, wf, preferred_element_type=jnp.int32)
         v2, s2 = iaf_step_int(v2, h, qparams.thr_feat, qparams.minv_feat)
-        h2 = jnp.dot(
-            s2.astype(jnp.float32), wo, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        h2 = jnp.dot(s2, wo, preferred_element_type=jnp.int32)
         v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
         return (v2, v3, acc + s3, feat_total + s2.sum()), None
 
@@ -190,19 +219,20 @@ def stream_forward_counts(
     q, n_in = counts_in.shape
     n_feat = qparams.w_feat.shape[1]
     n_out = qparams.w_out.shape[1]
-    wf = qparams.w_feat.astype(jnp.float32)
-    wo = qparams.w_out.astype(jnp.float32)
+    # int32 dots for exactness on dense bins — see stream_forward_counts_carry.
+    wf = qparams.w_feat
+    wo = qparams.w_out
     c = counts_in.astype(jnp.float32)
 
     def step(carry, t):
         v2, v3, acc = carry
         tf = t.astype(jnp.float32)
-        x = jnp.floor(c * (tf + 1.0) / steps) - jnp.floor(c * tf / steps)
-        h = jnp.dot(x, wf, preferred_element_type=jnp.float32).astype(jnp.int32)
+        x = (jnp.floor(c * (tf + 1.0) / steps) - jnp.floor(c * tf / steps)).astype(
+            jnp.int32
+        )
+        h = jnp.dot(x, wf, preferred_element_type=jnp.int32)
         v2, s2 = iaf_step_int(v2, h, qparams.thr_feat, qparams.minv_feat)
-        h2 = jnp.dot(
-            s2.astype(jnp.float32), wo, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        h2 = jnp.dot(s2, wo, preferred_element_type=jnp.int32)
         v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
         return (v2, v3, acc + s3), None
 
@@ -410,6 +440,9 @@ def run_event_driven(cfg: LensConfig):
     logger, output_folder = model_logger(cfg.output_base)
     params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
     qparams = discretize(params, STREAM_THRESHOLDS, cfg.min_v_mem)
+    check_stream_dot_range(
+        qparams, cfg.input, events_native.hot_pixel_cap(cfg.timebin / 1000.0)
+    )
 
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)

@@ -205,21 +205,46 @@ int64_t lens_parse_text_events(const char* path, double* t, uint16_t* x,
 
 namespace {
 
+// Ready-queue entry: either a run of `empties` consecutive all-zero bins
+// (stored as a counter — never materialized) or one packed data blob.
+// A corrupt AER line with a far-future timestamp used to drive
+// `while (cur_bin < b) close_bin_locked()`, eagerly packing every
+// intervening empty bin (~10 MB each at substeps=250/n_in=10000) and
+// exhausting host memory; runs of empty bins are now O(1) memory and
+// synthesized as zero frames lazily at poll time.
+struct BinEntry {
+  int64_t empties = 0;           // > 0: that many empty bins; 0: data blob
+  std::vector<uint8_t> blob;
+};
+
 struct LensStream {
   double timebin_s;
   int roi_x, roi_y, roi_w, roi_h, hot_cap, substeps, n_in;
+  int64_t max_gap_bins;  // corruption guard: events jumping further ahead
+                         // than this many bins are dropped as corrupt
   std::vector<int32_t> lut;  // roi_h*roi_w -> input index or -1
   std::mutex mu;
   double t0 = -1.0;
   int64_t cur_bin = 0;
   bool any = false;
+  bool cur_dirty = false;        // current bin has received >=1 event
   std::vector<uint32_t> frame;   // current bin, (roi_h*roi_w)
   std::vector<int32_t> raster;   // current bin, (substeps*n_in)
-  std::deque<std::vector<uint8_t>> ready;  // packed frame||raster per bin
+  std::deque<BinEntry> ready;
+  int64_t pending_bins = 0;      // total bins poll() will emit
 
   LensStream() = default;
 
   void close_bin_locked() {
+    if (!cur_dirty) {  // all-zero bin: extend/append an empty run
+      if (!ready.empty() && ready.back().empties > 0)
+        ++ready.back().empties;
+      else
+        ready.push_back(BinEntry{1, {}});
+      ++pending_bins;
+      ++cur_bin;
+      return;
+    }
     const int64_t fpx = (int64_t)roi_w * roi_h;
     if (hot_cap > 0) {
       for (int64_t p = 0; p < fpx; ++p)
@@ -236,14 +261,17 @@ struct LensStream {
         }
       }
     }
-    std::vector<uint8_t> blob(sizeof(uint32_t) * fpx +
-                              sizeof(int32_t) * (int64_t)substeps * n_in);
-    std::memcpy(blob.data(), frame.data(), sizeof(uint32_t) * fpx);
-    std::memcpy(blob.data() + sizeof(uint32_t) * fpx, raster.data(),
+    BinEntry e;
+    e.blob.resize(sizeof(uint32_t) * fpx +
+                  sizeof(int32_t) * (int64_t)substeps * n_in);
+    std::memcpy(e.blob.data(), frame.data(), sizeof(uint32_t) * fpx);
+    std::memcpy(e.blob.data() + sizeof(uint32_t) * fpx, raster.data(),
                 sizeof(int32_t) * (int64_t)substeps * n_in);
-    ready.push_back(std::move(blob));
+    ready.push_back(std::move(e));
+    ++pending_bins;
     std::fill(frame.begin(), frame.end(), 0u);
     std::fill(raster.begin(), raster.end(), 0);
+    cur_dirty = false;
     ++cur_bin;
   }
 };
@@ -254,7 +282,7 @@ extern "C" {
 
 void* lens_stream_open(double timebin_s, int roi_x, int roi_y, int roi_w,
                        int roi_h, int hot_cap, int substeps,
-                       const int32_t* lut, int n_in) {
+                       const int32_t* lut, int n_in, int64_t max_gap_bins) {
   auto* s = new LensStream();
   s->timebin_s = timebin_s;
   s->roi_x = roi_x;
@@ -264,6 +292,7 @@ void* lens_stream_open(double timebin_s, int roi_x, int roi_y, int roi_w,
   s->hot_cap = hot_cap;
   s->substeps = substeps;
   s->n_in = n_in;
+  s->max_gap_bins = max_gap_bins > 0 ? max_gap_bins : INT64_MAX;
   s->lut.assign(lut, lut + (int64_t)roi_w * roi_h);
   s->frame.assign((int64_t)roi_w * roi_h, 0u);
   s->raster.assign((int64_t)substeps * n_in, 0);
@@ -284,7 +313,12 @@ void lens_stream_feed(void* h, const double* t, const uint16_t* x,
     s->any = true;
     const int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
     if (b < s->cur_bin) continue;  // late event: its bin already emitted
+    // Corruption guard: a single malformed line with a far-future timestamp
+    // must not advance the stream clock (dropping all subsequent real
+    // events as "late") or flood the consumer with empty bins.
+    if (b - s->cur_bin > s->max_gap_bins) continue;
     while (s->cur_bin < b) s->close_bin_locked();
+    s->cur_dirty = true;
     s->frame[(int64_t)yr * s->roi_w + xr] += 1;
     const int32_t pix = s->lut[(int64_t)yr * s->roi_w + xr];
     if (pix >= 0) {
@@ -308,21 +342,30 @@ void lens_stream_flush(void* h) {
 int64_t lens_stream_pending(void* h) {
   auto* s = (LensStream*)h;
   std::lock_guard<std::mutex> lock(s->mu);
-  return (int64_t)s->ready.size();
+  return s->pending_bins;
 }
 
 // Pop one complete bin into frame_out (roi_h*roi_w u32) and raster_out
 // (substeps*n_in i32).  Returns 1 if a bin was emitted, 0 if none pending.
+// Empty bins (stored as run counters) are synthesized as zeros here.
 int lens_stream_poll(void* h, uint32_t* frame_out, int32_t* raster_out) {
   auto* s = (LensStream*)h;
   std::lock_guard<std::mutex> lock(s->mu);
   if (s->ready.empty()) return 0;
   const int64_t fpx = (int64_t)s->roi_w * s->roi_h;
-  const std::vector<uint8_t>& blob = s->ready.front();
-  std::memcpy(frame_out, blob.data(), sizeof(uint32_t) * fpx);
-  std::memcpy(raster_out, blob.data() + sizeof(uint32_t) * fpx,
-              sizeof(int32_t) * (int64_t)s->substeps * s->n_in);
-  s->ready.pop_front();
+  const int64_t rsz = (int64_t)s->substeps * s->n_in;
+  BinEntry& e = s->ready.front();
+  if (e.empties > 0) {
+    std::memset(frame_out, 0, sizeof(uint32_t) * fpx);
+    std::memset(raster_out, 0, sizeof(int32_t) * rsz);
+    if (--e.empties == 0) s->ready.pop_front();
+  } else {
+    std::memcpy(frame_out, e.blob.data(), sizeof(uint32_t) * fpx);
+    std::memcpy(raster_out, e.blob.data() + sizeof(uint32_t) * fpx,
+                sizeof(int32_t) * rsz);
+    s->ready.pop_front();
+  }
+  --s->pending_bins;
   return 1;
 }
 

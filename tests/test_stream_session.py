@@ -111,6 +111,108 @@ def test_cross_thread_feed_poll():
     assert 0 < total <= in_roi
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+def test_empty_bin_runs_are_lazy_and_complete(use_native):
+    """A long quiet gap between events must not materialize per-bin buffers
+    eagerly (a far-future event used to pack every intervening empty bin's
+    ~substeps*n_in*4 bytes before the consumer could poll); the gap is stored
+    as a run counter and synthesized as zero bins at poll time."""
+    if use_native and ev.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    lut = center_pixel_lut(80, 10)
+    gap_bins = 5000  # 5000 eagerly-packed bins would be ~0.5 GB at these shapes
+    sess = ev.StreamSession(0.25, lut, substeps=250, use_native=use_native)
+    sess.feed(np.array([0.0]), np.array([30], np.uint16), np.array([5], np.uint16))
+    sess.feed(
+        np.array([gap_bins * 0.25 + 0.01]),
+        np.array([40], np.uint16),
+        np.array([6], np.uint16),
+    )
+    sess.flush()
+    assert sess.pending() == gap_bins + 1
+    first = sess.poll()
+    assert first[0].sum() == 1  # bin 0 carries the first event
+    for _ in range(gap_bins - 1):
+        frame, raster = sess.poll()
+        assert frame.sum() == 0 and raster.sum() == 0
+    last = sess.poll()
+    assert last[0].sum() == 1  # final bin carries the second event
+    assert sess.poll() is None
+    sess.close()
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_corrupt_far_future_event_dropped(use_native):
+    """One malformed AER line with a timestamp beyond max_gap_bins is dropped:
+    it must not advance the stream clock (which would discard every subsequent
+    real event as 'late') or enqueue a flood of empty bins."""
+    if use_native and ev.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    lut = center_pixel_lut(80, 10)
+    sess = ev.StreamSession(
+        0.25, lut, substeps=250, use_native=use_native, max_gap_bins=100
+    )
+    x = np.array([30], np.uint16)
+    y = np.array([5], np.uint16)
+    sess.feed(np.array([0.0]), x, y)
+    sess.feed(np.array([1e12]), x, y)  # corrupt line: ~4e12 bins ahead
+    sess.feed(np.array([0.1]), x, y)  # real traffic continues in bin 0
+    sess.feed(np.array([0.3]), x, y)  # and bin 1
+    sess.flush()
+    assert sess.pending() == 2
+    f0, _ = sess.poll()
+    f1, _ = sess.poll()
+    assert f0.sum() == 2 and f1.sum() == 1
+    sess.close()
+
+
+def test_hot_cap_zero_disables_filter_both_engines():
+    """hot_cap=0 means 'cap disabled' (matching accumulate_frames and the C++
+    engine); the numpy fallback used to clamp every frame/raster to zero."""
+    rng = np.random.default_rng(7)
+    t, x, y = _random_stream(rng, n=2000, t_span=0.9)
+    lut = center_pixel_lut(80, 10)
+    out = {}
+    engines = [False] + ([True] if ev.get_lib() is not None else [])
+    for use_native in engines:
+        sess = ev.StreamSession(
+            0.25, lut, substeps=250, hot_cap=0, use_native=use_native
+        )
+        sess.feed(t, x, y)
+        sess.flush()
+        out[use_native] = _drain(sess)
+        sess.close()
+    # Uncapped totals equal the raw in-ROI event count.
+    xr, yr = x.astype(int) - 23, y.astype(int)
+    in_roi = int(((xr >= 0) & (xr < 80) & (yr >= 0) & (yr < 80)).sum())
+    for bins in out.values():
+        assert sum(int(f.sum()) for f, _ in bins) == in_roi
+    if True in out:
+        for (f1, r1), (f2, r2) in zip(out[True], out[False]):
+            np.testing.assert_array_equal(f1, f2)
+            np.testing.assert_array_equal(r1, r2)
+
+
+def test_stream_dot_range_guard():
+    """The int32-drive bound raises with a remediation hint when a config's
+    worst-case dense burst could overflow the streaming integer dots."""
+    from lens_tpu.core.network import LensParams
+    from lens_tpu.runtime.speck_sim import discretize
+    from lens_tpu.runtime.stream import STREAM_THRESHOLDS, check_stream_dot_range
+
+    rng = np.random.default_rng(11)
+    params = LensParams(
+        w_feat=rng.normal(size=(100, 200)).astype(np.float32),
+        w_out=rng.normal(size=(200, 100)).astype(np.float32),
+        thr_feat=np.ones(200, np.float32),
+        thr_out=np.ones(100, np.float32),
+    )
+    qp = discretize(params, STREAM_THRESHOLDS, -1.0)
+    check_stream_dot_range(qp, n_in=100, hot_cap=1250)  # default config: fine
+    with pytest.raises(ValueError, match="hot_pixel_rate"):
+        check_stream_dot_range(qp, n_in=1_000_000, hot_cap=1_000_000)
+
+
 def test_live_stdin_mode_end_to_end(tiny_dataset_cfg):
     """--event_file - : text AER lines through live_aer_bin_source match the
     batch path on the same data."""
