@@ -79,6 +79,12 @@ class LensConfig:
     headless: bool = False
     save_input: bool = False
 
+    # --- DVS front-end (chip constants the reference hardcodes into the
+    # devkit — run_speck.py:258-271 — surfaced as config for the simulator) ---
+    hot_pixel_rate: int = 5  # chip dvs_filter.threshold, events/ms (0 = off)
+    roi_x: int = 23  # ROI origin x (run_speck.py:268-269: cut (23,0)-(102,79))
+    roi_y: int = 0  # ROI origin y
+
     # --- TPU-native additions (no reference counterpart) ---
     raster_mode: str = "torch-parity"  # 'torch-parity' | 'jax' — see ops/raster.py
     raster_seed: int = 50  # reference dataset.py:120 uses torch.manual_seed(50)
@@ -105,6 +111,22 @@ class LensConfig:
         self.output = int(self.reference_places)
         # Center-pixel kernel, reference run_model.py:101.
         self.kernel_size = self.roi_dim // self.dims
+
+    # -- DVS front-end accessors: the single route from config to the
+    # accumulation engines (native C++, numpy fallback, device scatter-add)
+    @property
+    def roi_origin(self) -> tuple:
+        return (self.roi_x, self.roi_y)
+
+    def hot_cap(self) -> int:
+        """Per-bin hot-pixel cap: the chip's per-ms rate threshold scaled to
+        this config's timebin (the one scaling rule, events_native.
+        hot_pixel_cap).  0 when the filter is disabled (hot_pixel_rate=0)."""
+        if self.hot_pixel_rate <= 0:
+            return 0
+        from lens_tpu.runtime.events_native import hot_pixel_cap
+
+        return hot_pixel_cap(self.timebin / 1000.0, self.hot_pixel_rate)
 
     # -- model name scheme, reference main.py:27-38 ("..._LENS_IN{n}_FN{n}_DB{n}.pth")
     def model_name(self, suffix: str = ".pth") -> str:
@@ -149,7 +171,12 @@ _HELP = {
     "collect_data": "Collect event frames to train a new model",
     "headless": "Run the streaming mode without visualization",
     "save_input": "Save the input spikes as NumPy arrays",
+    "hot_pixel_rate": "DVS hot-pixel filter rate threshold, events/ms (0 disables)",
+    "roi_x": "DVS ROI crop origin x (sensor coords)",
+    "roi_y": "DVS ROI crop origin y (sensor coords)",
     "raster_mode": "'torch-parity' (bitwise reference rasters) or 'jax' (native PRNG)",
+    "batch_queries": "Chunk the query axis into N-row device programs "
+    "(0 = all queries at once); bit-identical, for HBM-limited hosts",
     "shard_db": "Shard the reference-place (database) axis across all chips (TP)",
     "shard_db_auto_places": "Auto-enable --shard_db at this database size",
 }

@@ -70,7 +70,29 @@ def compute_similarity(
     cfg: LensConfig, params, intensities: np.ndarray, u_thresh: np.ndarray
 ) -> np.ndarray:
     """Dispatch to the quantized, multi-chip, or fused-kernel forward;
-    returns (Q, R) counts."""
+    returns (Q, R) counts.
+
+    --batch_queries N > 0 chunks the query axis into N-row device programs
+    for HBM-limited hosts (a Q x T x n_in raster at the 16k-query scale is
+    tens of GB); each query's forward is independent, so the chunked result
+    is bit-identical to the single-program one (tests/test_e2e_cli.py).
+    0 (default) = all queries in one device program.
+    """
+    bq = cfg.batch_queries
+    if bq > 0 and intensities.shape[0] > bq:
+        return np.concatenate(
+            [
+                _compute_similarity_once(cfg, params, intensities[i : i + bq], u_thresh)
+                for i in range(0, intensities.shape[0], bq)
+            ],
+            axis=0,
+        )
+    return _compute_similarity_once(cfg, params, intensities, u_thresh)
+
+
+def _compute_similarity_once(
+    cfg: LensConfig, params, intensities: np.ndarray, u_thresh: np.ndarray
+) -> np.ndarray:
     import jax
 
     n_dev = len(jax.devices())

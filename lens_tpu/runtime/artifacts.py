@@ -28,6 +28,81 @@ except ImportError:  # pragma: no cover
     HAVE_MPL = False
 
 
+class NpyAppender:
+    """Append-only `.npy` writer for unbounded streams.
+
+    The streaming mode used to rebuild spike_data.npy / similarity_matrix.npy
+    from an ever-growing in-memory list on every flush — quadratic IO and
+    linear RSS over hour-scale streams.  This writer appends rows in O(row)
+    IO and holds NO row data in memory; each flush() rewrites only the
+    fixed-size header (the leading dimension is zero-padded to 12 digits so
+    the header length never changes), leaving the file a complete, valid
+    `.npy` of every row so far — the same crash-durability the periodic full
+    rewrite provided, at linear total IO.
+    """
+
+    _MAGIC = b"\x93NUMPY\x01\x00"
+
+    def __init__(self, path: str, row_shape: Sequence[int], dtype) -> None:
+        self.path = path
+        self.row_shape = tuple(int(s) for s in row_shape)
+        self.dtype = np.dtype(dtype)
+        self.n_rows = 0
+        self._row_bytes = int(self.dtype.itemsize * max(np.prod(self.row_shape), 1))
+        self._f = open(path, "w+b")
+        self._write_header()
+
+    def _write_header(self) -> None:
+        import struct
+
+        descr = np.lib.format.dtype_to_descr(self.dtype)
+        dims = ["%12d" % self.n_rows] + [str(s) for s in self.row_shape]
+        shape = "(" + ", ".join(dims) + ("," if len(dims) == 1 else "") + ")"
+        header = "{'descr': %r, 'fortran_order': False, 'shape': %s, }" % (
+            descr,
+            shape,
+        )
+        base = len(self._MAGIC) + 2  # magic + u16 header length
+        pad = (64 - (base + len(header) + 1) % 64) % 64
+        header = header + " " * pad + "\n"
+        self._f.seek(0)
+        self._f.write(self._MAGIC)
+        self._f.write(struct.pack("<H", len(header)))
+        self._f.write(header.encode("latin1"))
+
+    def append(self, row: np.ndarray) -> None:
+        row = np.asarray(row, self.dtype)  # asarray keeps 0-d rows 0-d
+        if row.shape != self.row_shape:
+            raise ValueError(f"row shape {row.shape} != {self.row_shape}")
+        self._f.seek(0, os.SEEK_END)
+        self._f.write(row.tobytes())  # tobytes always emits C order
+        self.n_rows += 1
+
+    def append_rows(self, block: np.ndarray) -> None:
+        block = np.asarray(block, self.dtype)
+        if block.shape[1:] != self.row_shape:
+            raise ValueError(f"block row shape {block.shape[1:]} != {self.row_shape}")
+        self._f.seek(0, os.SEEK_END)
+        self._f.write(block.tobytes())
+        self.n_rows += int(block.shape[0])
+
+    def flush(self) -> None:
+        """Make the file a valid .npy of everything appended so far."""
+        self._write_header()
+        self._f.flush()
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self.flush()
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_matrix_pdf(matrix: np.ndarray, path: str, title: str | None = None) -> None:
     """imshow + colorbar, as run_model.py:257-260 / 296-299."""
     if not HAVE_MPL:

@@ -62,11 +62,10 @@ def run_collector(cfg: LensConfig) -> str:
             x,
             y,
             timebin_s=cfg.timebin / 1000.0,
-            roi_origin=(23, 0),  # collect_data.py:230-233
+            # Chip DVS constants as config (defaults: collect_data.py:230-235).
+            roi_origin=cfg.roi_origin,
             roi_size=(cfg.roi_dim, cfg.roi_dim),
-            # Rate threshold (collect_data.py:234-235) scaled to a per-bin cap
-            # by the shared helper (single source of truth across engines).
-            hot_pixel_threshold=events_native.hot_pixel_cap(cfg.timebin / 1000.0),
+            hot_pixel_threshold=cfg.hot_cap(),
         )
         for i, frame in enumerate(frames):
             _save_frame(img_folder, i, frame)

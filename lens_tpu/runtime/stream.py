@@ -282,6 +282,7 @@ def live_aer_bin_source(cfg: LensConfig, line_source):
     lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
     sess = events_native.StreamSession(
         cfg.timebin / 1000.0, lut, substeps=substeps_for(cfg.timebin),
+        roi_origin=cfg.roi_origin, hot_cap=cfg.hot_cap(),
         n_in=cfg.dims * cfg.dims,
     )
     try:
@@ -334,16 +335,17 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     """Yield (raster (substeps, n_in) int32, roi_frame (roi, roi) uint32) per
     timebin from a recorded event stream — the event-TIME integration path.
 
-    Events are ROI-cropped (origin (23,0), run_speck.py:268-271), mapped to
-    the center-pixel downsample grid, scattered into the substep their
-    timestamp falls in, and hot-pixel-capped keeping the earliest events.
+    Events are ROI-cropped (config roi_x/roi_y; defaults reproduce the chip's
+    origin (23,0), run_speck.py:268-271), mapped to the center-pixel
+    downsample grid, scattered into the substep their timestamp falls in,
+    and hot-pixel-capped (config hot_pixel_rate) keeping the earliest events.
     """
     t, x, y = load_raw_events(cfg.event_file)
     order = np.argsort(t, kind="stable")
     t, x, y = t[order], x[order], y[order]
     roi = cfg.roi_dim
-    xr = x - 23
-    yr = y - 0
+    xr = x - cfg.roi_x
+    yr = y - cfg.roi_y
     keep = (xr >= 0) & (xr < roi) & (yr >= 0) & (yr < roi)
     t, xr, yr = t[keep], xr[keep], yr[keep]
     if len(t) == 0:
@@ -352,7 +354,7 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     t0 = t[0]
     bins = np.floor((t - t0) / timebin_s).astype(np.int64)
     lut = center_pixel_lut(roi, cfg.dims)
-    cap = events_native.hot_pixel_cap(timebin_s)
+    cap = cfg.hot_cap()
     n_in = cfg.dims * cfg.dims
     n_bins = int(bins.max()) + 1
     # Events are time-sorted, so per-bin slices come from one searchsorted
@@ -363,7 +365,8 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
         tb, xb, yb = t[lo:hi], xr[lo:hi], yr[lo:hi]
         roi_frame = np.zeros((roi, roi), np.uint32)
         np.add.at(roi_frame, (yb, xb), 1)
-        roi_frame = np.minimum(roi_frame, cap).astype(np.uint32)
+        if cap > 0:
+            roi_frame = np.minimum(roi_frame, cap).astype(np.uint32)
         pix = lut[yb, xb]
         hit = pix >= 0
         raster = rasterize_bin_events(
@@ -383,13 +386,19 @@ class OnlineMatcher:
     Collects per-bin output spike-count vectors; every QUERIES_PER_SEQUENCE
     bins their integer-mean becomes one sequence row; every SEQUENCE_ROWS rows
     it runs the 'same' diagonal convolution, takes the argmax place per
-    column, appends the block to the growing similarity matrix, and resets.
+    column, APPENDS the block to similarity_matrix.npy (O(block) IO via
+    artifacts.NpyAppender — the full-array rewrite was quadratic over long
+    streams), and resets.  In memory only the most recent MATRIX_KEEP_COLS
+    columns are retained (`self.matrix`), so RSS stays flat on unbounded
+    streams while the on-disk artifact holds everything.
 
     Preserved reference quirk: the spike accumulator resets only after a FULL
     block (run_speck.py:221 clears self.sum when 4 rows are collected, not per
     row), so row j of a block is the cumulative count over the block's first
     4*j bins divided by 4.
     """
+
+    MATRIX_KEEP_COLS = 4096  # in-memory tail; the .npy artifact is unbounded
 
     def __init__(self, n_places: int, sequence_length: int, output_folder: str, logger):
         self.n_places = n_places
@@ -401,6 +410,15 @@ class OnlineMatcher:
         self._rows: list = []
         self.matrix: Optional[np.ndarray] = None
         self.matches: list = []
+        # similarity_matrix.npy stores matrix.T: one (n_places,) row per
+        # sequence column, appended block by block.
+        from lens_tpu.runtime.artifacts import NpyAppender
+
+        self._matrix_file = NpyAppender(
+            os.path.join(output_folder, "similarity_matrix.npy"),
+            (n_places,),
+            np.float64,
+        )
 
     def push(self, counts: np.ndarray) -> None:
         self._bin_sum += counts.astype(np.int64)
@@ -425,13 +443,17 @@ class OnlineMatcher:
         self.matrix = (
             result
             if self.matrix is None
-            else np.concatenate((self.matrix, result), axis=1)
+            else np.concatenate((self.matrix, result), axis=1)[
+                :, -self.MATRIX_KEEP_COLS :
+            ]
         )
-        np.save(
-            os.path.join(self.output_folder, "similarity_matrix.npy"), self.matrix.T
-        )
+        self._matrix_file.append_rows(np.asarray(result, np.float64).T)
+        self._matrix_file.flush()  # valid .npy after every block (crash-durable)
         self._rows = []
         self._bin_sum = np.zeros(self.n_places, dtype=np.int64)  # run_speck.py:221
+
+    def close(self) -> None:
+        self._matrix_file.close()
 
 
 def run_event_driven(cfg: LensConfig):
@@ -440,9 +462,7 @@ def run_event_driven(cfg: LensConfig):
     logger, output_folder = model_logger(cfg.output_base)
     params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
     qparams = discretize(params, STREAM_THRESHOLDS, cfg.min_v_mem)
-    check_stream_dot_range(
-        qparams, cfg.input, events_native.hot_pixel_cap(cfg.timebin / 1000.0)
-    )
+    check_stream_dot_range(qparams, cfg.input, cfg.hot_cap())
 
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
@@ -460,7 +480,15 @@ def run_event_driven(cfg: LensConfig):
             port=int(os.environ.get("LENS_VIZ_PORT", "0"))
         )
         logger.info(f"Live dashboard: {matcher.dashboard_url}")
-    spike_log: list = []
+    # Appendable spike log: O(bin) IO per bin, flat RSS on unbounded streams
+    # (the in-memory list + full np.save rewrite was linear RSS/quadratic IO).
+    from lens_tpu.runtime.artifacts import NpyAppender
+
+    spike_file = NpyAppender(
+        os.path.join(output_folder, "spike_data.npy"),
+        (int(np.asarray(qparams.w_out).shape[1]),),
+        np.int32,
+    )
     steps = substeps_for(cfg.timebin)
 
     if cfg.event_file == "-":
@@ -532,14 +560,11 @@ def run_event_driven(cfg: LensConfig):
             logger.info(
                 f"Collected {int(counts.sum())} output spikes at time {time.time()}"
             )  # run_speck.py:167 cadence log
-            spike_log.append(counts)
-            # Flush periodically, not per bin: rewriting the whole array every
-            # bin makes artifact IO quadratic in stream length.
+            spike_file.append(counts)  # run_speck.py:171-172 artifact
+            # Header flush periodically (makes the file a valid .npy of all
+            # rows so far); data bytes are already on disk per bin.
             if (i + 1) % SPIKE_FLUSH_BINS == 0:
-                np.save(
-                    os.path.join(output_folder, "spike_data.npy"),
-                    np.stack(spike_log),
-                )  # run_speck.py:171-172
+                spike_file.flush()
             if cfg.save_input:
                 ev_dir = os.path.join(output_folder, "events")
                 os.makedirs(ev_dir, exist_ok=True)
@@ -560,10 +585,8 @@ def run_event_driven(cfg: LensConfig):
     finally:
         if dashboard is not None:
             dashboard.stop()
-        if spike_log:
-            np.save(
-                os.path.join(output_folder, "spike_data.npy"), np.stack(spike_log)
-            )
+        spike_file.close()
+        matcher.close()
         power.save(os.path.join(output_folder, "power_data.npy"))
     logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")
     logger.info("")

