@@ -174,6 +174,31 @@ def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# VMEM budget for the fused kernel's resident set.  The chip has 128 MiB of
+# VMEM; the kernel holds both weight banks, the threshold stream, and the
+# per-tile intensity/membrane/output buffers resident (that residency IS the
+# kernel's speedup), and Mosaic needs headroom for register spills — the
+# large-model failure mode was "Used 183.91M of 128.00M vmem" with a 101 MB
+# spill allocation.  Models past this budget route to the XLA scan, where
+# the compiler tiles the GEMMs through HBM.
+_PALLAS_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def kernel_vmem_bytes(
+    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int
+) -> int:
+    """f32 resident-set estimate of forward_counts_pallas (padded to the
+    128-lane tile): weights + threshold stream + per-tile buffers."""
+    pad = lambda n: -(-n // 128) * 128  # noqa: E731
+    n_in_p, n_feat_p, n_out_p = pad(n_in), pad(n_feat), pad(n_out)
+    return 4 * (
+        n_in_p * n_feat_p  # w1
+        + n_feat_p * n_out_p  # w2
+        + t_steps * n_in_p  # u
+        + tile_q * (n_in_p + n_feat_p + 2 * n_out_p)  # intens + v2 + v3 + out
+    )
+
+
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
                  min_v_mem=-1.0, q_bucket: int = 1024):
     """Route to the Pallas kernel on TPU, the XLA scan elsewhere.
@@ -181,10 +206,19 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     The query axis is host-padded up to a multiple of `q_bucket` so every
     dataset size reuses the same compiled executable (remote TPU compiles
     cost minutes; padded rows are all-zero intensities, which never spike).
+    Models whose weights do not fit the kernel's VMEM-resident design
+    (kernel_vmem_bytes > budget) take the XLA scan, which tiles through HBM.
     """
     from lens_tpu.core.network import forward_counts
 
-    if not (pallas_available() and spike_thresholds.inp == 1.0):
+    fits = kernel_vmem_bytes(
+        intensities.shape[1],
+        params.w_feat.shape[1],
+        params.w_out.shape[1],
+        u_thresh.shape[0],
+        q_bucket,
+    ) <= _PALLAS_VMEM_BUDGET_BYTES
+    if not (pallas_available() and spike_thresholds.inp == 1.0 and fits):
         return forward_counts(
             params, intensities, u_thresh, spike_thresholds, min_v_mem
         )

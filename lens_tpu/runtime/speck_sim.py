@@ -156,9 +156,20 @@ def forward_counts_quantized_bucketed(
         intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
             intensities
         )
-    from lens_tpu.ops.fused_forward import pallas_available
+    from lens_tpu.ops.fused_forward import (
+        _PALLAS_VMEM_BUDGET_BYTES,
+        kernel_vmem_bytes,
+        pallas_available,
+    )
 
-    if pallas_available():
+    fits = kernel_vmem_bytes(
+        intensities.shape[1],
+        qparams.w_feat.shape[1],
+        qparams.w_out.shape[1],
+        u_thresh.shape[0],
+        q_bucket,
+    ) <= _PALLAS_VMEM_BUDGET_BYTES
+    if pallas_available() and fits:
         return forward_counts_quantized_pallas(
             qparams, intensities, u_thresh, tile_q=q_bucket
         )[:q]

@@ -538,51 +538,80 @@ def run_event_driven(cfg: LensConfig):
     v_feat = jnp.zeros((qparams.w_feat.shape[1],), jnp.int32)
     v_out = jnp.zeros((qparams.w_out.shape[1],), jnp.int32)
 
+    def _drain(entry) -> None:
+        """Fetch one dispatched bin's results and run all host-side
+        consumers (power model, artifacts, matcher, dashboard)."""
+        i, frame, counts_dev, feat_dev, t_bin = entry
+        # One host fetch for both outputs: a separate float(feat) scalar
+        # fetch is a second blocking roundtrip per bin on the relay.
+        counts, feat_spikes = jax.device_get((counts_dev, feat_dev))
+        # Pipelined per-bin wall time: dispatch -> (next bin's host build
+        # overlaps device execution) -> fetch.  This is the sustained
+        # throughput figure, the honest rate for the power model.
+        dur = max(time.perf_counter() - t_bin, 1e-9)
+        n_events = float(frame.sum())
+        # synops = input spikes x fan-out per layer (power.py): layer 2's
+        # driver is the FEATURE spikes it consumes, not the output spikes.
+        n_synops = n_events * fan_out_feat + float(feat_spikes) * fan_out_out
+        power.record_bin(n_events, n_synops, dur)
+
+        logger.info(
+            f"Collected {int(counts.sum())} output spikes at time {time.time()}"
+        )  # run_speck.py:167 cadence log
+        spike_file.append(counts)  # run_speck.py:171-172 artifact
+        # Header flush periodically (makes the file a valid .npy of all
+        # rows so far); data bytes are already on disk per bin.
+        if (i + 1) % SPIKE_FLUSH_BINS == 0:
+            spike_file.flush()
+        if cfg.save_input:
+            ev_dir = os.path.join(output_folder, "events")
+            os.makedirs(ev_dir, exist_ok=True)
+            np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
+        n_matches_before = len(matcher.matches)
+        matcher.push(counts)
+        if dashboard is not None:
+            # Same duration record_bin used, so the live rails and the
+            # persisted power_data.npy agree bin-for-bin.
+            dashboard.update_bin(
+                i,
+                frame,
+                int(counts.sum()),
+                power.model.rail_powers(n_events / dur, n_synops / dur),
+            )
+            if len(matcher.matches) > n_matches_before:
+                dashboard.add_matches(matcher.matches[n_matches_before:])
+
     # try/finally: a Ctrl-C or device error mid-stream must still leave the
     # artifacts current (the per-bin save this flush schedule replaced was
     # implicitly crash-durable) and release the dashboard port.
+    #
+    # ONE-DEEP PIPELINE: bin i is dispatched (async under JAX), then the host
+    # builds bin i+1's raster from the source WHILE the device executes, and
+    # only then fetches bin i's results.  The membrane carry stays device-
+    # resident between dispatches, so chaining adds no extra transfers; host
+    # raster building is fully overlapped with device execution.
+    pending = None
     try:
         for i, (raster, frame) in enumerate(bins_iter):
             t_bin = time.perf_counter()
             counts_dev, v_feat, v_out, feat_dev = stream_forward_counts_carry(
                 qparams, jnp.asarray(raster), v_feat, v_out
             )
-            # One host fetch for both outputs: a separate float(feat) scalar
-            # fetch is a second blocking roundtrip per bin on the relay.
-            counts, feat_spikes = jax.device_get((counts_dev, feat_dev))
-            dur = max(time.perf_counter() - t_bin, 1e-9)
-            n_events = float(frame.sum())
-            # synops = input spikes x fan-out per layer (power.py): layer 2's
-            # driver is the FEATURE spikes it consumes, not the output spikes.
-            n_synops = n_events * fan_out_feat + float(feat_spikes) * fan_out_out
-            power.record_bin(n_events, n_synops, dur)
-
-            logger.info(
-                f"Collected {int(counts.sum())} output spikes at time {time.time()}"
-            )  # run_speck.py:167 cadence log
-            spike_file.append(counts)  # run_speck.py:171-172 artifact
-            # Header flush periodically (makes the file a valid .npy of all
-            # rows so far); data bytes are already on disk per bin.
-            if (i + 1) % SPIKE_FLUSH_BINS == 0:
-                spike_file.flush()
-            if cfg.save_input:
-                ev_dir = os.path.join(output_folder, "events")
-                os.makedirs(ev_dir, exist_ok=True)
-                np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
-            n_matches_before = len(matcher.matches)
-            matcher.push(counts)
-            if dashboard is not None:
-                # Same duration record_bin used, so the live rails and the
-                # persisted power_data.npy agree bin-for-bin.
-                dashboard.update_bin(
-                    i,
-                    frame,
-                    int(counts.sum()),
-                    power.model.rail_powers(n_events / dur, n_synops / dur),
-                )
-                if len(matcher.matches) > n_matches_before:
-                    dashboard.add_matches(matcher.matches[n_matches_before:])
+            entry = (i, frame, counts_dev, feat_dev, t_bin)
+            if pending is not None:
+                _drain(pending)
+            pending = entry
+        if pending is not None:
+            _drain(pending)
+            pending = None
     finally:
+        if pending is not None:
+            # Crash path: persist the already-dispatched bin if the device
+            # can still deliver it; artifact closure must proceed regardless.
+            import contextlib
+
+            with contextlib.suppress(Exception):
+                _drain(pending)
         if dashboard is not None:
             dashboard.stop()
         spike_file.close()

@@ -124,3 +124,21 @@ def test_pallas_padding_isolation(setup):
     )
     expected = np.asarray(forward_counts_stepwise(params, intens, u))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_vmem_routing_guard():
+    """Models whose weights exceed the fused kernel's VMEM-resident budget
+    must route to the XLA scan (the IN1024/FN2048/DB8192 synthetic blew
+    VMEM: 'Used 183.91M of 128.00M' — a routing bug for any large model)."""
+    from lens_tpu.ops.fused_forward import (
+        _PALLAS_VMEM_BUDGET_BYTES,
+        kernel_vmem_bytes,
+    )
+
+    # The LENS model class fits comfortably.
+    assert kernel_vmem_bytes(100, 200, 100, 250, 1024) < _PALLAS_VMEM_BUDGET_BYTES
+    assert kernel_vmem_bytes(49, 63, 641, 1000, 1024) < _PALLAS_VMEM_BUDGET_BYTES
+    # The large synthetic does not (w2 alone is 64 MiB of f32).
+    assert kernel_vmem_bytes(1024, 2048, 8192, 250, 256) > _PALLAS_VMEM_BUDGET_BYTES
+    # Estimate sanity: weights dominate at that scale.
+    assert kernel_vmem_bytes(1024, 2048, 8192, 250, 256) > 4 * 2048 * 8192
