@@ -37,12 +37,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _spikes(v: jnp.ndarray, thr: float) -> jnp.ndarray:
-    """Multi-spike count: floor(v/thr) clamped at 0.  (A thr==1.0
-    divide-elision specialization was tried and produced a fresh HLO whose
-    remote compile wedged; the constant divide folds anyway, so keep the
-    single proven-cached form.)"""
-    return jnp.maximum(jnp.floor(v / thr), 0.0)
+def _spikes(v: jnp.ndarray, thr: float, int_exact: bool = False) -> jnp.ndarray:
+    """Multi-spike count: floor(v/thr) clamped at 0.
+
+    Default (float path): the literal divide.  At thr == 1.0 it folds at
+    compile time and the traced HLO stays byte-identical to the proven
+    cached executable.  (A thr==1.0 divide-elision specialization was tried
+    in round 2 and produced a fresh HLO whose remote compile wedged.)
+
+    int_exact=True (the quantized chip route, where v and thr are
+    INTEGER-valued f32 with thr >= 2) replaces the per-step VPU divide with
+    multiply-by-reciprocal plus a +/-1 correction — exact for the quantized
+    envelope: with v/thr < 2^23 the relative error of v * fl(1/thr) keeps
+    floor within +/-1 of true, and the remainder r = v - s0*thr is an exact
+    f32 integer (products/sums < 2^24), so the comparison correction
+    recovers floor(v/thr) exactly.  For v < 0 the corrected floor is <= -1
+    and clamps to 0, matching the divide.  NOT valid for non-integer v/thr
+    (boundary rounding could differ from the divide) — the float path never
+    uses it.  Fuzzed bit-exact against the int32 scan in
+    tests/test_speck_sim.py (including engineered exact-multiple ties)."""
+    if not int_exact or thr == 1.0:
+        return jnp.maximum(jnp.floor(v / thr), 0.0)
+    inv = np.float32(1.0) / np.float32(thr)  # f32 reciprocal, baked constant
+    s0 = jnp.floor(v * inv)
+    r = v - s0 * thr
+    s = s0 + (r >= thr).astype(jnp.float32) - (r < 0.0).astype(jnp.float32)
+    return jnp.maximum(s, 0.0)
 
 
 def _kernel(
@@ -50,6 +70,7 @@ def _kernel(
     thr_out: float,
     min_v: Optional[float],
     min_v_out: Optional[float] = None,
+    int_exact: bool = False,
 ):
     if min_v_out is None:
         min_v_out = min_v
@@ -72,13 +93,13 @@ def _kernel(
             x = (u_t[None, :] < intens).astype(jnp.float32)
             h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
             v2 = v2 + h
-            s2 = _spikes(v2, thr_feat)
+            s2 = _spikes(v2, thr_feat, int_exact)
             v2 = v2 - s2 * thr_feat
             if min_v is not None:
                 v2 = jnp.maximum(v2, min_v)
             h2 = jnp.dot(s2, w2, preferred_element_type=jnp.float32)
             v3 = v3 + h2
-            s3 = _spikes(v3, thr_out)
+            s3 = _spikes(v3, thr_out, int_exact)
             v3 = v3 - s3 * thr_out
             if min_v_out is not None:
                 v3 = jnp.maximum(v3, min_v_out)
@@ -98,7 +119,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spike_thresholds", "min_v_mem", "min_v_mem_out", "tile_q", "interpret"
+        "spike_thresholds", "min_v_mem", "min_v_mem_out", "tile_q", "interpret",
+        "int_exact",
     ),
 )
 def forward_counts_pallas(
@@ -110,6 +132,7 @@ def forward_counts_pallas(
     tile_q: int = 1024,
     interpret: bool = False,
     min_v_mem_out: Optional[float] = None,  # None = same floor as layer 1
+    int_exact: bool = False,  # quantized route: reciprocal spike count
 ) -> jnp.ndarray:
     """(Q, n_out) output spike counts; drop-in for forward_counts.
 
@@ -147,6 +170,7 @@ def forward_counts_pallas(
             float(spike_thresholds.out),
             None if min_v_mem is None else float(min_v_mem),
             None if min_v_mem_out is None else float(min_v_mem_out),
+            int_exact,
         ),
         out_shape=jax.ShapeDtypeStruct((q_p, n_out_p), jnp.float32),
         grid=grid,

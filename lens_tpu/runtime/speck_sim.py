@@ -227,6 +227,11 @@ def _quantized_pallas_jit(
         min_v_mem_out=minv_out,
         tile_q=tile_q,
         interpret=interpret,
+        # Integer-valued f32 envelope: the per-step VPU divides become
+        # multiply-by-reciprocal + correction (bit-exact; ~3x fewer VPU
+        # cycles per spike count — the quantized route's divides were the
+        # gap to the float kernel, BENCHMARKS.md).
+        int_exact=True,
     )
     return counts.astype(jnp.int32)
 

@@ -154,3 +154,29 @@ def test_quantized_pallas_kernel_bit_exact_fuzz():
             )
         )[:q]
         np.testing.assert_array_equal(fast, ref, err_msg=f"trial {trial}")
+
+
+def test_reciprocal_spike_count_exact_at_multiples():
+    """The quantized kernel's multiply-by-reciprocal spike count (int_exact)
+    must equal floor(v/thr) exactly INCLUDING at exact multiples of thr and
+    just-off-by-one boundaries — the cases where a naive reciprocal multiply
+    misrounds.  Checked directly against integer division over adversarial
+    thresholds (the f32-reciprocal-unfriendly ones: 3, 7, 274, 2408, 32767)
+    and dense boundary grids."""
+    import jax
+
+    from lens_tpu.ops.fused_forward import _spikes
+
+    for thr in (2, 3, 7, 10, 274, 2408, 32767):
+        ks = np.arange(0, 3000, 7)[: 512]
+        vs = []
+        for k in ks:
+            vs.extend((k * thr - 1, k * thr, k * thr + 1))
+        vs.extend(range(-3 * thr, 2 * thr))  # negative/small region
+        v = np.asarray(sorted(set(vs)), np.float32)
+        v = v[np.abs(v) < 2**24 - thr]  # the documented exactness envelope
+        expect = np.maximum(np.floor_divide(v.astype(np.int64), thr), 0)
+        got = np.asarray(
+            jax.jit(lambda x: _spikes(x, float(thr), int_exact=True))(v)
+        )
+        np.testing.assert_array_equal(got.astype(np.int64), expect, err_msg=f"thr={thr}")
