@@ -281,7 +281,7 @@ def section_stream(result: dict) -> None:
     from lens_tpu.runtime.stream import run_event_driven
 
     events_per_bin = 20_000
-    for timebin_ms, n_bins in ((250, 96), (1000, 32)):
+    for timebin_ms, n_bins, chunk in ((250, 96, 1), (1000, 32, 1), (250, 96, 8)):
         with tempfile.TemporaryDirectory() as td:
             stream = _synth_stream(td, timebin_ms, n_bins, events_per_bin)
             cfg = LensConfig(
@@ -289,17 +289,18 @@ def section_stream(result: dict) -> None:
                 headless=True,
                 event_driven=True,
                 event_file=stream,
+                stream_chunk_bins=chunk,
                 data_dir=os.path.join(ROOT, "lens/dataset/"),
                 models_dir=os.path.join(ROOT, "lens/models"),
                 output_base=os.path.join(td, "out"),
             )
             logging.disable(logging.INFO)  # per-bin cadence logs off stdout
             try:
-                # Warm the compile on a 4-bin prefix so the timed window is
+                # Warm the compile on a short prefix so the timed window is
                 # steady-state (remote compiles are minutes-scale).
                 warm_stream = os.path.join(td, "warm.npy")
                 ev = np.load(stream)
-                cutoff = 4 * timebin_ms / 1000.0 + ev[0, 0]
+                cutoff = 2 * chunk * timebin_ms / 1000.0 + ev[0, 0]
                 np.save(warm_stream, ev[ev[:, 0] < cutoff])
                 run_event_driven(replace(cfg, event_file=warm_stream))
                 t0 = time.perf_counter()
@@ -309,8 +310,9 @@ def section_stream(result: dict) -> None:
                 logging.disable(logging.NOTSET)
             assert matcher is not None
             bins_per_s = n_bins / dt
-            result[f"stream_bins_per_sec_t{timebin_ms}"] = round(bins_per_s, 2)
-            result[f"stream_realtime_factor_t{timebin_ms}"] = round(
+            suffix = f"t{timebin_ms}" + (f"_chunk{chunk}" if chunk > 1 else "")
+            result[f"stream_bins_per_sec_{suffix}"] = round(bins_per_s, 2)
+            result[f"stream_realtime_factor_{suffix}"] = round(
                 bins_per_s * timebin_ms / 1000.0, 2
             )
     result["stream_events_per_bin"] = events_per_bin

@@ -94,6 +94,7 @@ class LensConfig:
     models_dir: str = "./lens/models"
     output_base: str = "./lens/output"
     event_file: str = ""  # event stream file for --event_driven replay
+    stream_chunk_bins: int = 1  # recorded replay: bins per device dispatch
     profile: bool = False  # emit JAX profiler trace + frames/sec report
     shard_db: bool = False  # force TP-sharding of the place/database axis
     shard_db_auto_places: int = 65536  # auto-TP when reference_places >= this
@@ -177,6 +178,8 @@ _HELP = {
     "raster_mode": "'torch-parity' (bitwise reference rasters) or 'jax' (native PRNG)",
     "batch_queries": "Chunk the query axis into N-row device programs "
     "(0 = all queries at once); bit-identical, for HBM-limited hosts",
+    "stream_chunk_bins": "Recorded-stream replay: process N timebins per "
+    "device dispatch (bit-identical; live stdin stays per-bin)",
     "shard_db": "Shard the reference-place (database) axis across all chips (TP)",
     "shard_db_auto_places": "Auto-enable --shard_db at this database size",
 }

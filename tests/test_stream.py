@@ -1,4 +1,5 @@
 import logging
+import os
 
 import numpy as np
 import pytest
@@ -235,3 +236,87 @@ def test_interrupted_stream_flushes_artifacts(tiny_dataset_cfg, monkeypatch, tmp
     spikes = np.load(out_dir / "spike_data.npy")
     assert spikes.shape[0] == 3  # bins completed before the crash
     assert (out_dir / "power_data.npy").exists()
+
+
+def test_multi_bin_carry_matches_sequential(qparams):
+    """stream_forward_counts_carry_multi (K bins per dispatch, the
+    recorded-replay fast path) must equal K sequential single-bin carries
+    bit-for-bit, including the membrane handoff and per-bin feat totals;
+    trailing zero-raster padding must leave the carry unchanged."""
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.stream import stream_forward_counts_carry_multi
+
+    rng = np.random.default_rng(7)
+    for k in (1, 4, 7):
+        rasters = rng.integers(0, 4, (k, 12, 16)).astype(np.int32)
+        vf = jnp.zeros((32,), jnp.int32)
+        vo = jnp.zeros((8,), jnp.int32)
+        cm, vfm, vom, fm = stream_forward_counts_carry_multi(
+            qparams, jnp.asarray(rasters), vf, vo
+        )
+        seq_counts, seq_feats = [], []
+        for i in range(k):
+            c, vf, vo, f = stream_forward_counts_carry(
+                qparams, jnp.asarray(rasters[i]), vf, vo
+            )
+            seq_counts.append(np.asarray(c))
+            seq_feats.append(int(f))
+        np.testing.assert_array_equal(np.asarray(cm), np.stack(seq_counts))
+        np.testing.assert_array_equal(np.asarray(vfm), np.asarray(vf))
+        np.testing.assert_array_equal(np.asarray(vom), np.asarray(vo))
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(seq_feats))
+        # Zero-raster padding: membranes unchanged, zero counts.
+        padded = np.concatenate([rasters, np.zeros((2, 12, 16), np.int32)])
+        cp, vfp, vop, _ = stream_forward_counts_carry_multi(
+            qparams, jnp.asarray(padded), jnp.zeros((32,), jnp.int32),
+            jnp.zeros((8,), jnp.int32),
+        )
+        np.testing.assert_array_equal(np.asarray(cp)[:k], np.stack(seq_counts))
+        np.testing.assert_array_equal(np.asarray(cp)[k:], 0)
+        np.testing.assert_array_equal(np.asarray(vfp), np.asarray(vf))
+        np.testing.assert_array_equal(np.asarray(vop), np.asarray(vo))
+
+
+def test_chunked_replay_bit_identical_to_per_bin(tiny_dataset_cfg, tmp_path):
+    """--stream_chunk_bins N on a recorded stream produces bit-identical
+    artifacts (spike_data.npy, matches) to the default per-bin replay —
+    only the dispatch granularity changes."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.tools.make_event_stream import synthesize_events
+    from lens_tpu.train_model import run_training
+
+    cfg = tiny_dataset_cfg
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True))
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 90, (18, cfg.roi_dim, cfg.roi_dim)).astype(np.float64)
+    events = synthesize_events(
+        frames, cfg.timebin / 1000.0, 2500, roi_origin=cfg.roi_origin, seed=2
+    )
+    stream = str(tmp_path / "stream.npy")
+    np.save(stream, events)
+
+    outputs = {}
+    for chunk in (1, 5):
+        out_base = str(tmp_path / f"out_c{chunk}")
+        m = run_event_driven(
+            replace(
+                cfg,
+                event_driven=True,
+                headless=True,
+                event_file=stream,
+                stream_chunk_bins=chunk,
+                output_base=out_base,
+            )
+        )
+        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        outputs[chunk] = (np.load(os.path.join(newest, "spike_data.npy")), m.matches)
+    spikes1, matches1 = outputs[1]
+    spikes5, matches5 = outputs[5]
+    assert spikes1.shape[0] > 5  # multiple chunks incl. a partial one
+    np.testing.assert_array_equal(spikes5, spikes1)
+    assert matches5 == matches1
