@@ -354,6 +354,23 @@ def section_large(result: dict) -> None:
     fps_f = q * len(batches) / dt
     assert last.sum() > 0
 
+    # --precision bf16 route: bf16 GEMM operands, f32 accumulation — the
+    # MXU-native mode for this GEMM-bound scale (run_model --precision bf16).
+    from lens_tpu.core.network import forward_counts
+
+    warm_b = np.asarray(
+        forward_counts(
+            params, jnp.asarray(intens_np), u, matmul_dtype=jnp.bfloat16
+        )
+    )
+    assert warm_b.shape == (q, n_out)
+    t0 = time.perf_counter()
+    outs = [forward_counts(params, b, u, matmul_dtype=jnp.bfloat16) for b in batches]
+    last = np.asarray(outs[-1])
+    dt = time.perf_counter() - t0
+    fps_b = q * len(batches) / dt
+    assert last.sum() > 0
+
     qp = discretize(params, SpikeThresholds(), -1.0)
     warm_q = np.asarray(
         forward_counts_quantized_bucketed(qp, jnp.asarray(intens_np), u, q_bucket=q)
@@ -376,6 +393,11 @@ def section_large(result: dict) -> None:
             "large_float_achieved_tflops": round(fps_f * flops / 1e12, 3),
             "large_float_mfu_pct_vs_bf16_peak": round(
                 fps_f * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
+            ),
+            "large_bf16_frames_per_sec": round(fps_b, 1),
+            "large_bf16_achieved_tflops": round(fps_b * flops / 1e12, 3),
+            "large_bf16_mfu_pct_vs_bf16_peak": round(
+                fps_b * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
             ),
         }
     )

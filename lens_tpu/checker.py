@@ -13,6 +13,13 @@ from lens_tpu.config import LensConfig
 
 
 def check_args(cfg: LensConfig) -> None:
+    assert cfg.precision in ("f32", "bf16"), (
+        f"--precision must be 'f32' or 'bf16', got {cfg.precision!r}"
+    )
+    assert not (cfg.precision == "bf16" and cfg.simulated_speck), (
+        "--precision bf16 is a float-path option; the quantized chip "
+        "simulator (--simulated_speck) is integer-exact and stays f32"
+    )
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
 

@@ -98,6 +98,7 @@ class LensConfig:
     profile: bool = False  # emit JAX profiler trace + frames/sec report
     shard_db: bool = False  # force TP-sharding of the place/database axis
     shard_db_auto_places: int = 65536  # auto-TP when reference_places >= this
+    precision: str = "f32"  # 'f32' | 'bf16' — GEMM operand precision (float path)
 
     # --- derived (filled by __post_init__) ---
     input: int = field(init=False, default=0)
@@ -182,6 +183,9 @@ _HELP = {
     "device dispatch (bit-identical; live stdin stays per-bin)",
     "shard_db": "Shard the reference-place (database) axis across all chips (TP)",
     "shard_db_auto_places": "Auto-enable --shard_db at this database size",
+    "precision": "GEMM operand precision for float inference: 'f32' (default) "
+    "or 'bf16' (MXU-native, ~2x matmul throughput on GEMM-bound models; "
+    "weights rounded to bf16, accumulation stays f32)",
 }
 
 

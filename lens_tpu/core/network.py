@@ -95,7 +95,8 @@ def forward_counts_stepwise(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_v_mem", "spike_thresholds", "dtype", "unroll")
+    jax.jit,
+    static_argnames=("min_v_mem", "spike_thresholds", "dtype", "unroll", "matmul_dtype"),
 )
 def forward_counts(
     params: LensParams,
@@ -105,6 +106,7 @@ def forward_counts(
     min_v_mem: Optional[float] = -1.0,
     dtype=jnp.float32,
     unroll: int = 8,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """Total output spikes per (query, reference place): the (Q, R) similarity
     matrix of reference run_model.py:234-246 as one device program.
@@ -119,6 +121,16 @@ def forward_counts(
     the stepwise path's up to f32 summation order.  Falls back to the
     stepwise path when a non-unit input threshold makes the hoist invalid
     (quantized/speck paths use their own integer program).
+
+    `matmul_dtype` (e.g. jnp.bfloat16, the MXU's native operand format —
+    2x the f32 matmul throughput on large GEMM-bound models) casts the GEMM
+    OPERANDS only; accumulation (`preferred_element_type`), membranes, and
+    spike counts stay in `dtype`.  The only precision loss is the one-time
+    rounding of the weights: rasters are exactly {0,1} and per-step feature
+    spike counts are small integers (exact in bf16 below 256), so the bf16
+    route evaluates the exact model with bf16-rounded weights.  Ignored by
+    the stepwise fallback (non-unit input thresholds = quantized paths,
+    which must stay integer-exact).
     """
     if spike_thresholds.inp != 1.0:
         return forward_counts_stepwise(
@@ -128,12 +140,13 @@ def forward_counts(
     q, n_in = intensities.shape
     n_feat = params.w_feat.shape[1]
     n_out = params.w_out.shape[1]
-    w_feat = params.w_feat.astype(dtype)
-    w_out = params.w_out.astype(dtype)
+    op_dtype = dtype if matmul_dtype is None else matmul_dtype
+    w_feat = params.w_feat.astype(op_dtype)
+    w_out = params.w_out.astype(op_dtype)
 
     # Raster for every (t, q) pair; input IAF(thr=1) on binary spikes is an
     # exact passthrough (floor(v)=v for v in {0,1}).
-    x = (u_thresh[:, None, :] < intensities[None, :, :]).astype(dtype)
+    x = (u_thresh[:, None, :] < intensities[None, :, :]).astype(op_dtype)
     h = jnp.einsum("tqi,if->tqf", x, w_feat, preferred_element_type=dtype)
 
     def feat_step(v, h_t):
@@ -144,7 +157,9 @@ def forward_counts(
         feat_step, jnp.zeros((q, n_feat), dtype), h, unroll=unroll
     )
 
-    h2 = jnp.einsum("tqf,fo->tqo", s2, w_out, preferred_element_type=dtype)
+    h2 = jnp.einsum(
+        "tqf,fo->tqo", s2.astype(op_dtype), w_out, preferred_element_type=dtype
+    )
 
     def out_step(carry, h_t):
         v, acc = carry

@@ -55,7 +55,7 @@ def shard_output_axis(mesh: Mesh, arr: jax.Array, axis: int) -> jax.Array:
 
 
 def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
-                         mesh: Optional[Mesh] = None):
+                         mesh: Optional[Mesh] = None, matmul_dtype=None):
     """Multi-chip data-parallel inference: queries sharded over 'data',
     params/threshold tensor replicated, one jitted program — XLA partitions
     the scan across the mesh and gathers the (Q, R) counts.
@@ -78,6 +78,7 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
             shard_queries(mesh, jnp.asarray(intens)),
             replicate(mesh, jnp.asarray(u_thresh)),
             min_v_mem=min_v_mem,
+            matmul_dtype=matmul_dtype,
         )
     return np.asarray(counts)[:q]
 
@@ -89,6 +90,7 @@ def tp_sharded_spike_counts(
     min_v_mem=-1.0,
     mesh: Optional[Mesh] = None,
     model_shards: Optional[int] = None,
+    matmul_dtype=None,
 ):
     """Tensor-parallel inference over the PLACE (database) axis: w_out's
     columns and the output-layer membranes shard across 'model', so a
@@ -131,7 +133,9 @@ def tp_sharded_spike_counts(
         shard_params,
         intensities,
         u_thresh,
-        lambda p, i, u: forward_counts(p, i, u, min_v_mem=min_v_mem),
+        lambda p, i, u: forward_counts(
+            p, i, u, min_v_mem=min_v_mem, matmul_dtype=matmul_dtype
+        ),
     )
 
 

@@ -97,6 +97,9 @@ def _compute_similarity_once(
 
     n_dev = len(jax.devices())
     want_tp = cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places
+    # --precision bf16: MXU-native operand precision on the float path only
+    # (accumulation/membranes stay f32 — see core/network.forward_counts).
+    mm_dtype = jnp.bfloat16 if cfg.precision == "bf16" else None
 
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)
@@ -119,15 +122,33 @@ def _compute_similarity_once(
         from lens_tpu.parallel.mesh import tp_sharded_spike_counts
 
         return tp_sharded_spike_counts(
-            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem
+            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem,
+            matmul_dtype=mm_dtype,
         ).astype(np.float64)
     if n_dev > 1:
         # Multi-chip slice: shard the query axis across all devices (DP).
         from lens_tpu.parallel.mesh import sharded_spike_counts
 
         return sharded_spike_counts(
-            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem
+            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem,
+            matmul_dtype=mm_dtype,
         ).astype(np.float64)
+    if mm_dtype is not None:
+        # bf16 targets GEMM-bound (large) models, which route to the XLA
+        # scan anyway; the fused Pallas kernel stays f32 (it is VMEM-
+        # bandwidth bound on the membranes, not MXU bound — BENCHMARKS.md).
+        from lens_tpu.core.network import forward_counts
+
+        return np.asarray(
+            forward_counts(
+                params,
+                jnp.asarray(intensities, jnp.float32),
+                jnp.asarray(u_thresh),
+                min_v_mem=cfg.min_v_mem,
+                matmul_dtype=mm_dtype,
+            ),
+            np.float64,
+        )
     from lens_tpu.ops.fused_forward import best_forward
 
     return np.asarray(
@@ -271,6 +292,7 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
                 "queries": int(n_frames),
                 "timebin": cfg.timebin,
                 "backend": "simulated_speck" if cfg.simulated_speck else "float",
+                "precision": "int" if cfg.simulated_speck else cfg.precision,
             },
             f,
             indent=2,

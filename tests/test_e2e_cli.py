@@ -227,3 +227,43 @@ def test_shard_db_auto_route(tiny_dataset, tiny_model):
         replace(tiny_dataset, matching=True, shard_db_auto_places=1)
     )
     np.testing.assert_array_equal(auto.counts, base.counts)
+
+
+def test_precision_bf16_end_to_end(tiny_dataset, tiny_model):
+    """--precision bf16 (MXU-native operand precision, f32 accumulation):
+    reachable from the user surface on every float route (single-device, DP,
+    TP); counts track the f32 run closely (only the bf16 weight rounding
+    differs) and the metrics artifact records the precision."""
+    import json
+    from dataclasses import replace
+
+    from lens_tpu.run_model import run_inference
+
+    base = run_inference(replace(tiny_dataset, matching=True))
+    bf16 = run_inference(replace(tiny_dataset, matching=True, precision="bf16"))
+    diff = np.abs(bf16.counts - base.counts)
+    assert (diff == 0).mean() > 0.8, (diff.max(), (diff == 0).mean())
+    assert len(bf16.recall_at_n) == 6
+    with open(os.path.join(bf16.output_folder, "metrics.json")) as f:
+        assert json.load(f)["precision"] == "bf16"
+    # TP route accepts it too (counts equal ITS f32-TP analogue up to the
+    # same weight rounding — here just assert the route runs).
+    tp = run_inference(
+        replace(tiny_dataset, matching=True, precision="bf16", shard_db=True)
+    )
+    np.testing.assert_array_equal(tp.counts, bf16.counts)
+
+
+def test_precision_bf16_rejected_for_quantized_sim(tiny_dataset):
+    """The quantized chip simulator's integer-exactness claim is f32-only;
+    the checker refuses the combination up front."""
+    from dataclasses import replace
+
+    from lens_tpu.checker import check_args
+
+    with pytest.raises(AssertionError, match="bf16"):
+        check_args(
+            replace(tiny_dataset, simulated_speck=True, precision="bf16")
+        )
+    with pytest.raises(AssertionError, match="precision"):
+        check_args(replace(tiny_dataset, precision="f16"))

@@ -88,3 +88,37 @@ def test_center_pixel_k1_wraps_like_torch():
 
     rows, cols = center_pixel_indices(7, 7)  # k=1: torch kernel[-1] wraps to 0
     np.testing.assert_array_equal(rows, np.arange(7))
+
+
+def test_bf16_matmul_route_close_to_f32(params):
+    """--precision bf16 casts GEMM operands only; with accumulation still
+    f32 the result equals evaluating the model with bf16-rounded weights, so
+    counts should track f32 closely (integer counts, small drives)."""
+    rng = np.random.default_rng(2)
+    intens = rng.random((6, 16)).astype(np.float32)
+    u = rng.random((40, 16)).astype(np.float32)
+    f32 = np.asarray(forward_counts(params, intens, u))
+    bf16 = np.asarray(forward_counts(params, intens, u, matmul_dtype=jnp.bfloat16))
+    assert bf16.dtype == f32.dtype  # counts stay f32
+    # Counts are integers; weight rounding flips at most the near-threshold
+    # steps.  On this tiny model the routes agree on >90% of entries and
+    # never by more than a few spikes.
+    diff = np.abs(bf16 - f32)
+    assert (diff == 0).mean() > 0.9, (diff.max(), (diff == 0).mean())
+    assert diff.max() <= 3.0
+
+
+def test_bf16_route_exact_on_bf16_representable_weights():
+    """When the weights are already exactly representable in bf16, the bf16
+    operand cast is lossless (rasters are {0,1}, spike counts are small
+    integers) and the two routes must agree bit-for-bit."""
+    rng = np.random.default_rng(3)
+    # Quarter-integer weights: exact in bf16 (8-bit mantissa).
+    w1 = (rng.integers(-8, 9, (16, 32)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-8, 9, (32, 8)) / 4.0).astype(np.float32)
+    p = params_from_numpy(w1, w2, np.zeros(32, np.float32), np.zeros(8, np.float32))
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((25, 16)).astype(np.float32)
+    f32 = np.asarray(forward_counts(p, intens, u))
+    bf16 = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(bf16, f32)
