@@ -329,7 +329,11 @@ def section_large(result: dict) -> None:
     quantized routes).  Manual section (--large): its compile is minutes
     through the tunnel and the driver's default run does not need it."""
     from lens_tpu.core.network import SpikeThresholds
-    from lens_tpu.runtime.speck_sim import discretize, forward_counts_quantized_bucketed
+    from lens_tpu.runtime.speck_sim import (
+        discretize,
+        forward_counts_quantized_bucketed,
+        quantized_int8_ok,
+    )
 
     n_in, n_feat, n_out, t_steps = 1024, 2048, 8192, 250
     q = 256 if jax.default_backend() != "cpu" else 16
@@ -398,6 +402,11 @@ def section_large(result: dict) -> None:
             "large_bf16_achieved_tflops": round(fps_b * flops / 1e12, 3),
             "large_bf16_mfu_pct_vs_bf16_peak": round(
                 fps_b * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
+            ),
+            # Which program the quantized dispatcher picked (the hoisted
+            # int8 MXU route when its exactness bound holds, else the scan).
+            "large_quant_route": (
+                "int8_hoisted" if quantized_int8_ok(qp) else "int32_scan"
             ),
         }
     )

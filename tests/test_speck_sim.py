@@ -180,3 +180,93 @@ def test_reciprocal_spike_count_exact_at_multiples():
             jax.jit(lambda x: _spikes(x, float(thr), int_exact=True))(v)
         )
         np.testing.assert_array_equal(got.astype(np.int64), expect, err_msg=f"thr={thr}")
+
+
+def test_int8_hoisted_route_bit_exact_fuzz():
+    """The hoisted int8 MXU route must equal the int32 per-step scan
+    bit-for-bit on random discretized models, including the streaming
+    threshold overrides (10/2) and varied min_v_mem."""
+    from lens_tpu.runtime.speck_sim import (
+        forward_counts_quantized_int8,
+        quantized_int8_ok,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (SpikeThresholds(), -1.0),
+        (SpikeThresholds(1.0, 10.0, 2.0), -1.0),  # run_speck.py:143-144
+        (SpikeThresholds(), -3.0),
+    ]
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        p = params_from_numpy(
+            r.normal(0, 0.4, (24, 40)).astype(np.float32),
+            r.normal(0, 0.4, (40, 12)).astype(np.float32),
+            np.zeros(40, np.float32),
+            np.zeros(12, np.float32),
+        )
+        intens = rng.random((6, 24)).astype(np.float32)
+        u = rng.random((30, 24)).astype(np.float32)
+        for thr, minv in cases:
+            qp = discretize(p, thr, minv)
+            assert quantized_int8_ok(qp)
+            scan = np.asarray(forward_counts_quantized(qp, intens, u))
+            i8 = np.asarray(forward_counts_quantized_int8(qp, intens, u))
+            np.testing.assert_array_equal(i8, scan, err_msg=f"{thr} {minv}")
+
+
+def test_int8_spike_bound_guard():
+    """A model whose per-step feature drive exceeds 127 spikes must be
+    refused by the int8 route (the s2 int8 cast would wrap) and routed to
+    the exact scan by quantized_int8_ok."""
+    from lens_tpu.runtime.speck_sim import (
+        QuantizedParams,
+        forward_counts_quantized_int8,
+        quantized_int8_ok,
+    )
+    import jax.numpy as jnp
+
+    # 200 inputs of weight 127 into one feature at threshold 1: drive_max =
+    # 25400 spikes/step >> 127.
+    qp = QuantizedParams(
+        w_feat=jnp.full((200, 8), 127, jnp.int32),
+        w_out=jnp.ones((8, 4), jnp.int32),
+        thr_feat=1,
+        thr_out=1,
+        minv_feat=-1,
+        minv_out=-1,
+        scale_feat=1.0,
+        scale_out=1.0,
+    )
+    assert not quantized_int8_ok(qp)
+    with pytest.raises(AssertionError, match="int8"):
+        forward_counts_quantized_int8(
+            qp,
+            np.ones((2, 200), np.float32),
+            np.full((5, 200), 0.5, np.float32),
+        )
+
+
+def test_bucketed_routes_int8_when_kernel_does_not_fit(small_params, monkeypatch):
+    """On a backend without the fused kernel, the bucketed dispatcher takes
+    the hoisted int8 route (when exact) and the counts stay bit-identical to
+    the per-step scan."""
+    from lens_tpu.runtime import speck_sim
+
+    rng = np.random.default_rng(9)
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((25, 16)).astype(np.float32)
+    qp = discretize(small_params)
+    called = {}
+    real = speck_sim.forward_counts_quantized_int8
+
+    def spy(*a, **k):
+        called["int8"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(speck_sim, "forward_counts_quantized_int8", spy)
+    got = np.asarray(speck_sim.forward_counts_quantized_bucketed(qp, intens, u))
+    assert called.get("int8")  # CPU: pallas unavailable -> int8 route
+    np.testing.assert_array_equal(
+        got, np.asarray(forward_counts_quantized(qp, intens, u))
+    )
