@@ -152,13 +152,45 @@ def sharded_quantized_counts(
     thresholds are per-layer scalars, so only the weight matrix splits).
     Counts remain bit-exact: integer-valued f32 GEMMs are exact in any
     partitioning that does not split the reduction axis, and none here does.
+
+    When the hoisted int8 MXU route's exactness bound holds
+    (speck_sim.quantized_int8_ok — the common case), the sharded program
+    uses it: int8 x int8 -> int32 dots partition identically (q axis on
+    'data', place axis on 'model') and are exact by construction.
     """
-    from lens_tpu.runtime.speck_sim import forward_counts_quantized
+    from lens_tpu.runtime.speck_sim import (
+        _quantized_hoisted_int8_jit,
+        forward_counts_quantized,
+        quantized_int8_ok,
+    )
 
     if mesh is None:
         # All devices to 'model' when the DB is the thing outgrowing a chip,
         # otherwise all to 'data' (the throughput axis).
         mesh = make_mesh(data=1) if shard_places else make_mesh()
+
+    if quantized_int8_ok(qparams):
+        w_feat_i8 = np.asarray(qparams.w_feat).astype(np.int8)
+        w_out_i8 = np.asarray(qparams.w_out).astype(np.int8)
+
+        def shard_params(w_out_sharded, jnp):
+            return (replicate(mesh, jnp.asarray(w_feat_i8)), w_out_sharded)
+
+        def forward(p, intens, u):
+            return _quantized_hoisted_int8_jit(
+                p[0],
+                p[1],
+                intens,
+                u,
+                int(qparams.thr_feat),
+                int(qparams.thr_out),
+                int(qparams.minv_feat),
+                int(qparams.minv_out),
+            )
+
+        return _place_sharded_counts(
+            mesh, w_out_i8, shard_params, intensities, u_thresh, forward
+        )
 
     def shard_params(w_out_sharded, jnp):
         return qparams._replace(
