@@ -224,7 +224,7 @@ def kernel_vmem_bytes(
 
 
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
-                 min_v_mem=-1.0, q_bucket: int = 1024):
+                 min_v_mem=-1.0, q_bucket: int = 1024, matmul_dtype=None):
     """Route to the Pallas kernel on TPU, the XLA scan elsewhere.
 
     The query axis is host-padded up to a multiple of `q_bucket` so every
@@ -232,9 +232,16 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     cost minutes; padded rows are all-zero intensities, which never spike).
     Models whose weights do not fit the kernel's VMEM-resident design
     (kernel_vmem_bytes > budget) take the XLA scan, which tiles through HBM.
+
+    `matmul_dtype` (the --precision bf16 route) forces the scan path — the
+    fused kernel is VMEM-bandwidth bound, not MXU bound, so bf16 operands
+    target the GEMM-bound scan-route models — with the same query-bucket
+    padding discipline (backend-aware on CPU, where padded rows run for
+    real and compiles are cheap).
     """
     from lens_tpu.core.network import forward_counts
 
+    q = intensities.shape[0]
     fits = kernel_vmem_bytes(
         intensities.shape[1],
         params.w_feat.shape[1],
@@ -242,11 +249,25 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         u_thresh.shape[0],
         q_bucket,
     ) <= _PALLAS_VMEM_BUDGET_BYTES
-    if not (pallas_available() and spike_thresholds.inp == 1.0 and fits):
-        return forward_counts(
-            params, intensities, u_thresh, spike_thresholds, min_v_mem
+    use_pallas = (
+        pallas_available()
+        and spike_thresholds.inp == 1.0
+        and fits
+        and matmul_dtype is None
+    )
+    if not use_pallas:
+        if jax.default_backend() == "cpu":
+            q_bucket = 1 << max(5, (q - 1).bit_length())
+        q_p = _round_up(q, q_bucket)
+        if q_p != q:
+            intensities = jnp.zeros(
+                (q_p, intensities.shape[1]), jnp.float32
+            ).at[:q].set(intensities)
+        out = forward_counts(
+            params, intensities, u_thresh, spike_thresholds, min_v_mem,
+            matmul_dtype=matmul_dtype,
         )
-    q = intensities.shape[0]
+        return out[:q]
     q_p = _round_up(q, q_bucket)
     if q_p != q:
         intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(

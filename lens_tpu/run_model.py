@@ -133,26 +133,13 @@ def _compute_similarity_once(
             params, intensities, u_thresh, min_v_mem=cfg.min_v_mem,
             matmul_dtype=mm_dtype,
         ).astype(np.float64)
-    if mm_dtype is not None:
-        # bf16 targets GEMM-bound (large) models, which route to the XLA
-        # scan anyway; the fused Pallas kernel stays f32 (it is VMEM-
-        # bandwidth bound on the membranes, not MXU bound — BENCHMARKS.md).
-        from lens_tpu.core.network import forward_counts
-
-        return np.asarray(
-            forward_counts(
-                params,
-                jnp.asarray(intensities, jnp.float32),
-                jnp.asarray(u_thresh),
-                min_v_mem=cfg.min_v_mem,
-                matmul_dtype=mm_dtype,
-            ),
-            np.float64,
-        )
     from lens_tpu.ops.fused_forward import best_forward
 
     return np.asarray(
-        best_forward(params, intensities, u_thresh, min_v_mem=cfg.min_v_mem),
+        best_forward(
+            params, intensities, u_thresh, min_v_mem=cfg.min_v_mem,
+            matmul_dtype=mm_dtype,
+        ),
         np.float64,
     )
 

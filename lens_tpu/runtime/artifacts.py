@@ -48,7 +48,6 @@ class NpyAppender:
         self.row_shape = tuple(int(s) for s in row_shape)
         self.dtype = np.dtype(dtype)
         self.n_rows = 0
-        self._row_bytes = int(self.dtype.itemsize * max(np.prod(self.row_shape), 1))
         self._f = open(path, "w+b")
         self._write_header()
 

@@ -96,6 +96,7 @@ class _BinBatcher:
             # Any unexpected error in batch assembly must fail the collected
             # items (clients get a 500), never kill the worker thread —
             # a silently dead worker would wedge every subsequent request.
+            requeued_ids: set = set()
             try:
                 # Only pay the batching window when other sessions could
                 # actually join (a lone robot's bins must not eat 2 ms of
@@ -115,9 +116,17 @@ class _BinBatcher:
                     seen.add(sid)
                 for it in deferred:
                     self._q.put(it)
+                    requeued_ids.add(id(it))
                 self._dispatch(batch)
             except Exception as e:  # noqa: BLE001 — fail the wave, keep serving
                 for it in items:
+                    # A re-queued duplicate is NOT failed here: it is still in
+                    # the queue and will be served on a later wave; marking it
+                    # done would 500 the client while the worker later
+                    # processes it anyway — integrating the (retried) bin
+                    # twice into the session's membrane carry.
+                    if id(it) in requeued_ids:
+                        continue
                     if not it["done"].is_set():
                         it["out"] = e
                         it["done"].set()

@@ -32,6 +32,7 @@ dashboard (runtime/visualize.py) serves activity/power/matches unless
 from __future__ import annotations
 
 import functools
+import logging
 import os
 import time
 from typing import Optional, Tuple
@@ -64,27 +65,41 @@ SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 
 
-def check_stream_dot_range(qparams: QuantizedParams, n_in: int, hot_cap: int) -> None:
-    """Assert the streaming int32 drives cannot overflow for this config.
+def stream_dot_bound_coeffs(qparams: QuantizedParams) -> Tuple[float, float]:
+    """(a, b) such that the worst-case streaming int32 drive for a per-pixel
+    per-bin event cap of C is a*C + b.
 
-    Tight worst case from the per-pixel per-BIN hot cap (the cumulative cap
-    bounds each pixel's total events per bin, however they cluster into
-    substeps): layer-1 drive to neuron j <= hot_cap * sum_i|w1_ij|; its total
-    spikes per bin <= that / thr1 + 1 (membrane-subtract leaves < thr1
-    residue), so layer-2 drive to neuron k <= sum_j s2_j |w2_jk|.  Raises
-    with a remediation hint if the bound exceeds int32.
+    Tight worst case (the cap bounds each pixel's total events per bin,
+    however they cluster into substeps): layer-1 drive to neuron j
+    <= C * sum_i|w1_ij|; its total spikes per bin <= that / thr1 + 1
+    (membrane-subtract leaves < thr1 residue), so layer-2 drive to neuron k
+    <= sum_j s2_j |w2_jk|.  Both bounds are affine in C, so one coefficient
+    pair serves the static config check AND the per-bin runtime guard used
+    when no static cap exists (hot filter disabled, or frame replay where
+    the AER cap is never applied).
     """
     w1 = np.abs(np.asarray(qparams.w_feat, np.float64))
     w2 = np.abs(np.asarray(qparams.w_out, np.float64))
-    d1_j = float(hot_cap) * w1.sum(axis=0)
-    d1 = float(d1_j.max(initial=0.0))
-    s2_j = d1_j / max(int(qparams.thr_feat), 1) + 1.0
-    d2 = float((s2_j @ w2).max(initial=0.0))
-    if max(d1, d2) >= 2**31:
+    d1_j_unit = w1.sum(axis=0)  # layer-1 drive per unit cap
+    a1 = float(d1_j_unit.max(initial=0.0))
+    thr1 = max(int(qparams.thr_feat), 1)
+    a2 = float(((d1_j_unit / thr1) @ w2).max(initial=0.0))
+    b2 = float(w2.sum(axis=0).max(initial=0.0))  # the "+1 spike" term
+    return max(a1, a2), b2
+
+
+def check_stream_dot_range(qparams: QuantizedParams, n_in: int, hot_cap: int) -> None:
+    """Assert the streaming int32 drives cannot overflow for this config
+    (see stream_dot_bound_coeffs for the bound).  Raises with a remediation
+    hint if the bound exceeds int32.  Only meaningful when `hot_cap` really
+    bounds per-pixel per-bin events — the runtime guard covers the rest.
+    """
+    a, b = stream_dot_bound_coeffs(qparams)
+    bound = a * float(hot_cap) + b
+    if bound >= 2**31:
         raise ValueError(
-            f"streaming drive bound {max(d1, d2):.3g} exceeds int32 "
-            f"(n_in={n_in}, hot_cap={hot_cap}, max|w|="
-            f"{max(float(w1.max(initial=0)), float(w2.max(initial=0))):g}); "
+            f"streaming drive bound {bound:.3g} exceeds int32 "
+            f"(n_in={n_in}, hot_cap={hot_cap}); "
             "lower --hot_pixel_rate or shorten --timebin"
         )
 
@@ -384,6 +399,21 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     timebin_s = cfg.timebin / 1000.0
     t0 = t[0]
     bins = np.floor((t - t0) / timebin_s).astype(np.int64)
+    # Corruption guard, mirroring the live ingest's max_gap_bins rule
+    # (events_native.StreamSession): one malformed far-future timestamp
+    # (e.g. microseconds parsed as seconds) would otherwise materialize
+    # billions of empty bins below.  Time-sorted, so everything from the
+    # first oversized jump onward is past the gap — truncate there (the live
+    # path likewise never advances across such a gap).
+    max_gap = events_native.StreamSession.DEFAULT_MAX_GAP_BINS
+    jumps = np.nonzero(np.diff(bins) > max_gap)[0]
+    if jumps.size:
+        cut = int(jumps[0]) + 1
+        logging.getLogger("LENS").warning(
+            "event stream: dropping %d events after a %d-bin timestamp jump "
+            "(corrupt line?)", len(bins) - cut, int(bins[cut] - bins[cut - 1])
+        )
+        t, xr, yr, bins = t[:cut], xr[:cut], yr[:cut], bins[:cut]
     lut = center_pixel_lut(roi, cfg.dims)
     cap = cfg.hot_cap()
     n_in = cfg.dims * cfg.dims
@@ -493,7 +523,14 @@ def run_event_driven(cfg: LensConfig):
     logger, output_folder = model_logger(cfg.output_base)
     params = checkpoint.load_model(cfg.models_dir, cfg.model_name())
     qparams = discretize(params, STREAM_THRESHOLDS, cfg.min_v_mem)
-    check_stream_dot_range(qparams, cfg.input, cfg.hot_cap())
+    # Static overflow check only holds when the AER hot cap really bounds
+    # per-pixel per-bin events; frame replays never apply it and
+    # --hot_pixel_rate 0 disables it — those get a per-bin runtime guard
+    # (the bound is affine in the actual per-pixel maximum, computed below).
+    static_cap_holds = cfg.hot_cap() > 0 and cfg.event_file != ""
+    if static_cap_holds:
+        check_stream_dot_range(qparams, cfg.input, cfg.hot_cap())
+    bound_a, bound_b = stream_dot_bound_coeffs(qparams)
 
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
@@ -604,25 +641,54 @@ def run_event_driven(cfg: LensConfig):
             if len(matcher.matches) > n_matches_before:
                 dashboard.add_matches(matcher.matches[n_matches_before:])
 
+    last_drain_t = [0.0]  # set to the loop start before the first chunk
+
     def _drain(entry) -> None:
         """Fetch one dispatched chunk's results (1..K bins) and process each
         bin in order.  One host fetch for all outputs: every extra fetch is
-        a blocking roundtrip per chunk on the relay."""
-        start, frames_g, counts_dev, feats_dev, t_bin, k_real = entry
-        counts_g, feats_g = jax.device_get((counts_dev, feats_dev))
+        a blocking roundtrip per chunk on the relay.  Resumable: `entry`
+        tracks how many bins it has already processed, so the crash-path
+        re-drain in the finally block continues where an interrupted drain
+        stopped instead of duplicating spike rows and matcher pushes."""
+        counts_g, feats_g = jax.device_get((entry["counts"], entry["feats"]))
+        k_real = entry["k"]
         counts_g = np.atleast_2d(np.asarray(counts_g))[:k_real]
         feats_g = np.atleast_1d(np.asarray(feats_g))[:k_real]
-        # Pipelined wall time for the chunk: dispatch -> (next chunk's host
-        # build overlaps device execution) -> fetch; attributed evenly per
-        # bin — the sustained-throughput figure, the honest power-model rate.
-        dur = max(time.perf_counter() - t_bin, 1e-9) / k_real
-        for j in range(k_real):
-            _process_bin(start + j, frames_g[j], counts_g[j], feats_g[j], dur)
+        # Per-chunk period = drain-to-drain time (in the one-deep pipeline a
+        # drain happens once per loop iteration, so this is the true
+        # sustained rate; measuring from the chunk's own build start would
+        # span TWO iterations and halve the power model's event/synop rates).
+        now = time.perf_counter()
+        dur = max(now - last_drain_t[0], 1e-9) / k_real
+        last_drain_t[0] = now
+        for j in range(entry["done"], k_real):
+            _process_bin(
+                entry["start"] + j, entry["frames"][j], counts_g[j], feats_g[j], dur
+            )
+            entry["done"] = j + 1
 
     # Recorded sources may process several bins per dispatch (outer-scan
     # program, bit-identical carry); the LIVE stdin path stays per-bin so a
     # bin is processed the moment it completes.
-    chunk = 1 if cfg.event_file == "-" else max(int(cfg.stream_chunk_bins), 1)
+    live = cfg.event_file == "-"
+    chunk = 1 if live else max(int(cfg.stream_chunk_bins), 1)
+
+    def _guarded(src):
+        """Per-bin int32-overflow guard for sources without a static cap:
+        the actual per-pixel per-bin event maximum plugs into the affine
+        drive bound; a bin that could overflow raises before dispatch."""
+        for raster, frame in src:
+            pix_max = float(raster.sum(axis=0, dtype=np.int64).max(initial=0))
+            if bound_a * pix_max + bound_b >= 2**31:
+                raise ValueError(
+                    f"streaming drive bound {bound_a * pix_max + bound_b:.3g} "
+                    f"exceeds int32 (per-pixel bin max {pix_max:.0f}); enable "
+                    "--hot_pixel_rate or shorten --timebin"
+                )
+            yield raster, frame
+
+    if not static_cap_holds:
+        bins_iter = _guarded(bins_iter)
 
     def _chunked(src):
         buf = []
@@ -638,17 +704,21 @@ def run_event_driven(cfg: LensConfig):
     # artifacts current (the per-bin save this flush schedule replaced was
     # implicitly crash-durable) and release the dashboard port.
     #
-    # ONE-DEEP PIPELINE: chunk i is dispatched (async under JAX), then the
-    # host builds chunk i+1's rasters from the source WHILE the device
-    # executes, and only then fetches chunk i's results.  The membrane carry
-    # stays device-resident between dispatches, so chaining adds no extra
-    # transfers; host raster building is fully overlapped with execution.
+    # ONE-DEEP PIPELINE (recorded sources): chunk i is dispatched (async
+    # under JAX), then the host builds chunk i+1's rasters from the source
+    # WHILE the device executes, and only then fetches chunk i's results.
+    # The membrane carry stays device-resident between dispatches, so
+    # chaining adds no extra transfers; host raster building is fully
+    # overlapped with execution.  The LIVE path drains synchronously — the
+    # contract is "processed the moment the bin completes", and deferring
+    # the fetch until the NEXT bin arrives would add a full bin of match
+    # latency (indefinite if the sensor stalls).
     pending = None
     try:
         start = 0
+        last_drain_t[0] = time.perf_counter()
         for group in _chunked(bins_iter):
             k_real = len(group)
-            t_bin = time.perf_counter()
             if chunk == 1:
                 counts_dev, v_feat, v_out, feat_dev = stream_forward_counts_carry(
                     qparams, jnp.asarray(group[0][0]), v_feat, v_out
@@ -666,18 +736,21 @@ def run_event_driven(cfg: LensConfig):
                         qparams, jnp.asarray(rasters), v_feat, v_out
                     )
                 )
-            entry = (
-                start,
-                [frame for _, frame in group],
-                counts_dev,
-                feat_dev,
-                t_bin,
-                k_real,
-            )
+            entry = {
+                "start": start,
+                "frames": [frame for _, frame in group],
+                "counts": counts_dev,
+                "feats": feat_dev,
+                "k": k_real,
+                "done": 0,
+            }
             start += k_real
-            if pending is not None:
-                _drain(pending)
-            pending = entry
+            if live:
+                _drain(entry)
+            else:
+                if pending is not None:
+                    _drain(pending)
+                pending = entry
         if pending is not None:
             _drain(pending)
             pending = None

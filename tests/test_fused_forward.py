@@ -142,3 +142,27 @@ def test_vmem_routing_guard():
     assert kernel_vmem_bytes(1024, 2048, 8192, 250, 256) > _PALLAS_VMEM_BUDGET_BYTES
     # Estimate sanity: weights dominate at that scale.
     assert kernel_vmem_bytes(1024, 2048, 8192, 250, 256) > 4 * 2048 * 8192
+
+
+def test_best_forward_bf16_bucket_padding_matches_direct():
+    """The bf16 route through best_forward applies the query-bucket padding
+    discipline (one executable per bucket, not per dataset size); padded
+    zero-intensity rows never spike, so results equal the direct call."""
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts, params_from_numpy
+    from lens_tpu.ops.fused_forward import best_forward
+
+    rng = np.random.default_rng(4)
+    p = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 8)).astype(np.float32),
+        np.zeros(32, np.float32),
+        np.zeros(8, np.float32),
+    )
+    intens = rng.random((7, 16)).astype(np.float32)  # odd Q: padding exercised
+    u = rng.random((20, 16)).astype(np.float32)
+    out = np.asarray(best_forward(p, intens, u, matmul_dtype=jnp.bfloat16))
+    direct = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    assert out.shape == (7, 8)
+    np.testing.assert_array_equal(out, direct)

@@ -225,3 +225,50 @@ def test_concurrent_sessions_micro_batch_correctly(server, tiny_dataset_cfg):
 
     for sid in sids:
         _post(port, "/stream/close", headers={"X-Session": sid})
+
+
+def test_deferred_item_survives_wave_failure(monkeypatch):
+    """A second bin from the same session defers (re-queues) to the next
+    wave; if the current wave then fails, the deferred item must NOT be
+    marked failed — it is still in the queue and gets served later (failing
+    it would 500 the client while the worker integrates the bin anyway,
+    double-counting it into the session carry after a retry)."""
+    import threading
+    from types import SimpleNamespace
+
+    from lens_tpu.runtime.serve import _BinBatcher
+
+    calls = []
+
+    def fake_dispatch(self, batch):
+        calls.append(list(batch))
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+        for it in batch:
+            it["out"] = ("served", len(calls))
+            it["done"].set()
+
+    monkeypatch.setattr(_BinBatcher, "_dispatch", fake_dispatch)
+    host = SimpleNamespace(_sessions={"a": 1, "b": 2}, _lock=threading.Lock())
+    batcher = _BinBatcher(host, window_s=0.3)  # wide window: both bins join wave 1
+    sess = {"id": "s1"}
+    results = []
+
+    def submit():
+        try:
+            results.append(("ok", batcher.run(sess, np.zeros(4, np.int32))))
+        except Exception as e:  # noqa: BLE001
+            results.append(("err", e))
+
+    threads = [threading.Thread(target=submit) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    kinds = sorted(k for k, _ in results)
+    # Exactly one request fails with the wave error; the deferred one is
+    # served on a later wave.
+    assert kinds == ["err", "ok"], results
+    assert len(calls) >= 2
+    served = [v for k, v in results if k == "ok"][0]
+    assert served[0] == "served" and served[1] >= 2

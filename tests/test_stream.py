@@ -320,3 +320,90 @@ def test_chunked_replay_bit_identical_to_per_bin(tiny_dataset_cfg, tmp_path):
     assert spikes1.shape[0] > 5  # multiple chunks incl. a partial one
     np.testing.assert_array_equal(spikes5, spikes1)
     assert matches5 == matches1
+
+
+def test_recorded_gap_guard_truncates_corrupt_timestamp(tiny_dataset_cfg, tmp_path):
+    """One malformed far-future timestamp in a recorded stream (e.g.
+    microseconds parsed as seconds) must not materialize billions of empty
+    bins — the replay truncates at the jump, mirroring the live ingest's
+    max_gap_bins rule."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import aer_bin_source, substeps_for
+    from lens_tpu.tools.make_event_stream import synthesize_events
+
+    cfg = tiny_dataset_cfg
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 90, (4, cfg.roi_dim, cfg.roi_dim)).astype(np.float64)
+    events = synthesize_events(
+        frames, cfg.timebin / 1000.0, 1500, roi_origin=cfg.roi_origin, seed=1
+    )
+    corrupt = np.concatenate(
+        [events, [[events[-1, 0] * 1e9, cfg.roi_x + 1, cfg.roi_y + 1, 1]]]
+    )
+    clean_path = str(tmp_path / "clean.npy")
+    bad_path = str(tmp_path / "bad.npy")
+    np.save(clean_path, events)
+    np.save(bad_path, corrupt)
+    steps = substeps_for(cfg.timebin)
+    clean = list(aer_bin_source(replace(cfg, event_file=clean_path), steps))
+    bad = list(aer_bin_source(replace(cfg, event_file=bad_path), steps))
+    assert len(bad) == len(clean)  # corrupt tail dropped, no bin explosion
+    for (r1, f1), (r2, f2) in zip(clean, bad):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)
+
+
+def test_stream_dot_bound_affine_matches_static_check(qparams):
+    """The static config check and the per-bin runtime guard share one
+    affine bound a*cap + b; the check must flip exactly at its root."""
+    from lens_tpu.runtime.stream import (
+        check_stream_dot_range,
+        stream_dot_bound_coeffs,
+    )
+
+    a, b = stream_dot_bound_coeffs(qparams)
+    assert a > 0 and b >= 0
+    cap_limit = int((2**31 - b) / a)
+    check_stream_dot_range(qparams, 100, cap_limit - 1)  # below: passes
+    with pytest.raises(ValueError, match="int32"):
+        check_stream_dot_range(qparams, 100, cap_limit + 1)
+
+
+def test_hot_filter_disabled_stream_runs_with_runtime_guard(
+    tiny_dataset_cfg, tmp_path
+):
+    """--hot_pixel_rate 0 disables the static overflow premise; the stream
+    must still run (per-bin runtime guard) and produce the same spikes as
+    the capped run when the cap never binds."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.tools.make_event_stream import synthesize_events
+    from lens_tpu.train_model import run_training
+
+    cfg = tiny_dataset_cfg
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True))
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 60, (6, cfg.roi_dim, cfg.roi_dim)).astype(np.float64)
+    events = synthesize_events(
+        frames, cfg.timebin / 1000.0, 800, roi_origin=cfg.roi_origin, seed=4
+    )
+    stream = str(tmp_path / "s.npy")
+    np.save(stream, events)
+    out_base = str(tmp_path / "out_nocap")
+    m = run_event_driven(
+        replace(
+            cfg,
+            event_driven=True,
+            headless=True,
+            event_file=stream,
+            hot_pixel_rate=0,
+            output_base=out_base,
+        )
+    )
+    assert m is not None
+    newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+    assert np.load(os.path.join(newest, "spike_data.npy")).shape[0] >= 6
