@@ -662,10 +662,15 @@ def run_event_driven(cfg: LensConfig):
         dur = max(now - last_drain_t[0], 1e-9) / k_real
         last_drain_t[0] = now
         for j in range(entry["done"], k_real):
+            # Marked done BEFORE processing: if a consumer (matcher,
+            # dashboard) raises mid-bin, the crash-path re-drain skips the
+            # bin rather than appending its spike row twice — at-most-once
+            # artifacts (a missing final row is visible; a duplicate would
+            # silently corrupt downstream analysis).
+            entry["done"] = j + 1
             _process_bin(
                 entry["start"] + j, entry["frames"][j], counts_g[j], feats_g[j], dur
             )
-            entry["done"] = j + 1
 
     # Recorded sources may process several bins per dispatch (outer-scan
     # program, bit-identical carry); the LIVE stdin path stays per-bin so a

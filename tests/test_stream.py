@@ -407,3 +407,47 @@ def test_hot_filter_disabled_stream_runs_with_runtime_guard(
     assert m is not None
     newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
     assert np.load(os.path.join(newest, "spike_data.npy")).shape[0] >= 6
+
+
+def test_consumer_crash_mid_drain_no_duplicate_rows(
+    tiny_dataset_cfg, monkeypatch, tmp_path
+):
+    """An exception inside a bin consumer (matcher/dashboard) during a
+    chunked drain must not duplicate that bin's spike row when the crash
+    path re-drains the chunk — artifacts are at-most-once per bin."""
+    from dataclasses import replace
+
+    import lens_tpu.runtime.stream as sm
+    from lens_tpu.train_model import run_training
+
+    cfg = replace(
+        tiny_dataset_cfg,
+        event_driven=True,
+        headless=True,
+        stream_chunk_bins=3,
+        output_base=str(tmp_path / "out"),
+    )
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True, event_driven=False))
+
+    real_push = sm.OnlineMatcher.push
+    calls = {"n": 0}
+
+    def dying_push(self, counts):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated matcher failure at bin 4")
+        return real_push(self, counts)
+
+    monkeypatch.setattr(sm.OnlineMatcher, "push", dying_push)
+    with pytest.raises(RuntimeError):
+        sm.run_event_driven(cfg)
+
+    out_dir = sorted((tmp_path / "out").iterdir())[-1]
+    spikes = np.load(out_dir / "spike_data.npy")
+    # Chunks of 3 over 8 replay bins: chunk 1 (bins 0-2) drained fully,
+    # chunk 2's bin 3 appended once (its push raised AFTER the append; the
+    # re-drain skips it), bins 4-5 recovered by the crash-path re-drain.
+    assert spikes.shape[0] == 6, spikes.shape
+    assert calls["n"] == 6
