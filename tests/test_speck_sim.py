@@ -270,3 +270,41 @@ def test_bucketed_routes_int8_when_kernel_does_not_fit(small_params, monkeypatch
     np.testing.assert_array_equal(
         got, np.asarray(forward_counts_quantized(qp, intens, u))
     )
+
+
+def test_int8_route_exact_at_spike_bound_127():
+    """Boundary case for the s2 -> int8 cast: a model engineered so every
+    feature neuron fires exactly 127 spikes per substep (the last value int8
+    represents) must pass quantized_int8_ok and match the scan bit-for-bit;
+    one more input pushes the bound to 128 and must be refused."""
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.speck_sim import (
+        QuantizedParams,
+        forward_counts_quantized_int8,
+        quantized_int8_ok,
+    )
+
+    def make(n_in):
+        return QuantizedParams(
+            w_feat=jnp.ones((n_in, 8), jnp.int32),
+            w_out=jnp.full((8, 4), 3, jnp.int32),
+            thr_feat=1,
+            thr_out=2,
+            minv_feat=-1,
+            minv_out=-1,
+            scale_feat=1.0,
+            scale_out=1.0,
+        )
+
+    qp = make(127)  # bound = (1 - 1 + 127) // 1 = 127: the exact limit
+    assert quantized_int8_ok(qp)
+    intens = np.ones((3, 127), np.float32)
+    u = np.zeros((10, 127), np.float32)  # u < 1 always: dense raster
+    scan = np.asarray(forward_counts_quantized(qp, intens, u))
+    i8 = np.asarray(forward_counts_quantized_int8(qp, intens, u))
+    np.testing.assert_array_equal(i8, scan)
+    # Every feature neuron fires 127/step; layer-2 drive 8*3*127 over thr 2.
+    assert scan.max() > 0
+
+    assert not quantized_int8_ok(make(128))  # bound 128: refused
