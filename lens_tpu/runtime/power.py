@@ -65,8 +65,22 @@ class PowerMonitor:
     _records: List[tuple] = field(default_factory=list)  # (t, events, synops, dt)
     _t0: float = field(default_factory=time.time)
 
-    def record_bin(self, n_events: float, n_synops: float, duration_s: float) -> None:
-        self._records.append((time.time() - self._t0, n_events, n_synops, duration_s))
+    def record_bin(
+        self,
+        n_events: float,
+        n_synops: float,
+        duration_s: float,
+        t: float | None = None,
+    ) -> None:
+        """One collection interval's activity.  `t` is the bin's start on the
+        STREAM clock (seconds); chip-simulating callers pass it (bin index x
+        timebin) so the trace timeline and rates are replay-speed
+        independent — the chip would process the stream in real time, so
+        modeled power must not scale with how fast the host happens to
+        replay it.  Default: host wall time since monitor creation."""
+        if t is None:
+            t = time.time() - self._t0
+        self._records.append((t, n_events, n_synops, duration_s))
 
     def traces(self) -> List[np.ndarray]:
         """Five (n_samples, 2) float arrays of (timestamp, watts), 20 Hz."""

@@ -606,14 +606,20 @@ def run_event_driven(cfg: LensConfig):
     v_feat = jnp.zeros((qparams.w_feat.shape[1],), jnp.int32)
     v_out = jnp.zeros((qparams.w_out.shape[1],), jnp.int32)
 
-    def _process_bin(i, frame, counts, feat_spikes, dur) -> None:
+    timebin_s = cfg.timebin / 1000.0
+
+    def _process_bin(i, frame, counts, feat_spikes) -> None:
         """Host-side consumers for one completed bin (power model,
         artifacts, matcher, dashboard)."""
         n_events = float(frame.sum())
         # synops = input spikes x fan-out per layer (power.py): layer 2's
         # driver is the FEATURE spikes it consumes, not the output spikes.
         n_synops = n_events * fan_out_feat + float(feat_spikes) * fan_out_out
-        power.record_bin(n_events, n_synops, dur)
+        # Power rates are on the STREAM clock: bin i spans [i, i+1) timebins
+        # regardless of how fast the host replays, so power_data.npy is the
+        # chip's trace for this recording — deterministic and host-speed
+        # independent (the chip processes the stream in real time).
+        power.record_bin(n_events, n_synops, timebin_s, t=i * timebin_s)
 
         logger.info(
             f"Collected {int(counts.sum())} output spikes at time {time.time()}"
@@ -630,18 +636,18 @@ def run_event_driven(cfg: LensConfig):
         n_matches_before = len(matcher.matches)
         matcher.push(counts)
         if dashboard is not None:
-            # Same duration record_bin used, so the live rails and the
-            # persisted power_data.npy agree bin-for-bin.
+            # Same stream-clock rates record_bin used, so the live rails and
+            # the persisted power_data.npy agree bin-for-bin.
             dashboard.update_bin(
                 i,
                 frame,
                 int(counts.sum()),
-                power.model.rail_powers(n_events / dur, n_synops / dur),
+                power.model.rail_powers(
+                    n_events / timebin_s, n_synops / timebin_s
+                ),
             )
             if len(matcher.matches) > n_matches_before:
                 dashboard.add_matches(matcher.matches[n_matches_before:])
-
-    last_drain_t = [0.0]  # set to the loop start before the first chunk
 
     def _drain(entry) -> None:
         """Fetch one dispatched chunk's results (1..K bins) and process each
@@ -654,13 +660,6 @@ def run_event_driven(cfg: LensConfig):
         k_real = entry["k"]
         counts_g = np.atleast_2d(np.asarray(counts_g))[:k_real]
         feats_g = np.atleast_1d(np.asarray(feats_g))[:k_real]
-        # Per-chunk period = drain-to-drain time (in the one-deep pipeline a
-        # drain happens once per loop iteration, so this is the true
-        # sustained rate; measuring from the chunk's own build start would
-        # span TWO iterations and halve the power model's event/synop rates).
-        now = time.perf_counter()
-        dur = max(now - last_drain_t[0], 1e-9) / k_real
-        last_drain_t[0] = now
         for j in range(entry["done"], k_real):
             # Marked done BEFORE processing: if a consumer (matcher,
             # dashboard) raises mid-bin, the crash-path re-drain skips the
@@ -669,7 +668,7 @@ def run_event_driven(cfg: LensConfig):
             # silently corrupt downstream analysis).
             entry["done"] = j + 1
             _process_bin(
-                entry["start"] + j, entry["frames"][j], counts_g[j], feats_g[j], dur
+                entry["start"] + j, entry["frames"][j], counts_g[j], feats_g[j]
             )
 
     # Recorded sources may process several bins per dispatch (outer-scan
@@ -721,7 +720,6 @@ def run_event_driven(cfg: LensConfig):
     pending = None
     try:
         start = 0
-        last_drain_t[0] = time.perf_counter()
         for group in _chunked(bins_iter):
             k_real = len(group)
             if chunk == 1:

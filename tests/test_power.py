@@ -67,3 +67,14 @@ def test_monitor_traces_shape_and_artifact(tmp_path):
 
 def test_count_synops():
     assert count_synops([10.0, 5.0], [100, 200]) == 10 * 100 + 5 * 200
+
+
+def test_record_bin_stream_clock():
+    """Chip-simulating callers pass the stream-time bin start; the trace
+    timeline must follow it, independent of host wall time."""
+    mon = PowerMonitor()
+    mon.record_bin(1000, 50_000, 0.25, t=0.0)
+    mon.record_bin(1000, 50_000, 0.25, t=0.25)
+    traces = mon.traces()
+    ts = traces[0][:, 0]
+    assert ts[0] == 0.0 and ts[-1] <= 0.5 + 1e-6

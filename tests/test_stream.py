@@ -451,3 +451,37 @@ def test_consumer_crash_mid_drain_no_duplicate_rows(
     # re-drain skips it), bins 4-5 recovered by the crash-path re-drain.
     assert spikes.shape[0] == 6, spikes.shape
     assert calls["n"] == 6
+
+
+def test_power_trace_is_replay_speed_independent(tiny_dataset_cfg, tmp_path):
+    """power_data.npy models the CHIP processing the stream in real time,
+    so two replays of the same recording — per-bin and chunked (different
+    host speeds) — must produce byte-identical traces."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.train_model import run_training
+
+    cfg = tiny_dataset_cfg
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True))
+
+    traces = {}
+    for chunk in (1, 4):
+        out_base = str(tmp_path / f"p{chunk}")
+        run_event_driven(
+            replace(
+                cfg,
+                event_driven=True,
+                headless=True,
+                stream_chunk_bins=chunk,
+                output_base=out_base,
+            )
+        )
+        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        traces[chunk] = np.load(
+            os.path.join(newest, "power_data.npy"), allow_pickle=True
+        )
+    for tr1, tr4 in zip(traces[1], traces[4]):
+        np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr4))
