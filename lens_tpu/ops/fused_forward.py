@@ -198,6 +198,14 @@ def pallas_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def cpu_q_bucket(q: int) -> int:
+    """Query bucket for the CPU backend: next power of two >= q (min 32).
+    On CPU padded rows run the full scan for real and compiles are cheap,
+    so a tight bucket beats the TPU's fixed 1024 (where padded rows are
+    nearly free on the MXU and each compile costs minutes)."""
+    return 1 << max(5, (q - 1).bit_length())
+
+
 # VMEM budget for the fused kernel's resident set.  The chip has 128 MiB of
 # VMEM; the kernel holds both weight banks, the threshold stream, and the
 # per-tile intensity/membrane/output buffers resident (that residency IS the
@@ -257,7 +265,7 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     )
     if not use_pallas:
         if jax.default_backend() == "cpu":
-            q_bucket = 1 << max(5, (q - 1).bit_length())
+            q_bucket = cpu_q_bucket(q)
         q_p = _round_up(q, q_bucket)
         if q_p != q:
             intensities = jnp.zeros(

@@ -148,7 +148,9 @@ def forward_counts_quantized_bucketed(
     q = intensities.shape[0]
     if q_bucket is None:
         if jax.default_backend() == "cpu":
-            q_bucket = 1 << max(5, (q - 1).bit_length())
+            from lens_tpu.ops.fused_forward import cpu_q_bucket
+
+            q_bucket = cpu_q_bucket(q)
         else:
             q_bucket = 1024
     q_p = ((q + q_bucket - 1) // q_bucket) * q_bucket
