@@ -217,7 +217,9 @@ def run_sweep(
     for i in range(n_trials):
         dist = np.asarray(sequence_conv(counts_b[i], cfg.sequence_length))
         recalls[i] = [recall_at_k(dist, GTtol, K=k) for k in RECALL_NS]
-    auc = np.trapezoid(recalls, np.array(RECALL_NS), axis=1)
+    # numpy 2 renamed trapz; support both (pyproject pins only "numpy").
+    _trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    auc = _trapezoid(recalls, np.array(RECALL_NS), axis=1)
     best = int(np.argmax(auc))
 
     for i, t in enumerate(trials):

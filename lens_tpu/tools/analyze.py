@@ -22,9 +22,11 @@ import numpy as np
 from lens_tpu.metrics.gt import make_gt_tolerant
 from lens_tpu.metrics.vpr import create_pr, recall_at_100_precision, recall_at_k
 from lens_tpu.ops.seqmatch import sequence_conv
+from lens_tpu.run_model import RECALL_NS  # the canonical N list — no drift
 from lens_tpu.utils.table import ascii_table
 
-RECALL_NS = [1, 5, 10, 15, 20, 25]
+# numpy 2 renamed trapz; support both (pyproject pins only "numpy").
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
 
 
 def analyze(
@@ -37,22 +39,27 @@ def analyze(
     """Recall@N + PR + R@100P for a similarity matrix.
 
     `apply_sequence` reruns the offline sequence conv (for raw (Q, R) count
-    matrices); saved online matrices are already sequence-matched.
+    matrices); saved online matrices are already sequence-matched.  Either
+    way the GT gets the run pipeline's full treatment (crop for the
+    sequence length, dilate, transpose — run_model.py evaluate), and the PR
+    artifacts use the same transposed orientation as the run's own
+    (reference run_model.py:318-327), so re-analysis reproduces the run's
+    numbers exactly.
     """
     S = np.asarray(matrix, np.float64)
     if apply_sequence and sequence_length:
         S = np.asarray(sequence_conv(S, sequence_length))
-        GT = make_gt_tolerant(GT, sequence_length, gt_tolerance)
-    elif gt_tolerance:
-        GT = make_gt_tolerant(GT, 0, gt_tolerance)
+    GT = make_gt_tolerant(GT, sequence_length, gt_tolerance)
     recalls = {n: round(recall_at_k(S, GT, K=n), 4) for n in RECALL_NS}
-    P, R, _ = create_pr(S, GT, matching="single", n_thresh=100)
+    P, R, _ = create_pr(S.T, GT.T, matching="single", n_thresh=100)
     return {
         "recall_at_n": recalls,
         "precision": P,
         "recall": R,
-        "recall_at_100_precision": recall_at_100_precision(S, GT, matching="single"),
-        "auc": float(np.trapezoid(list(recalls.values()), RECALL_NS)),
+        "recall_at_100_precision": recall_at_100_precision(
+            S.T, GT.T, matching="single"
+        ),
+        "auc": float(_trapezoid(list(recalls.values()), RECALL_NS)),
     }
 
 

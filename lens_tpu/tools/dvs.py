@@ -186,7 +186,14 @@ def simple_rep_frames(
         return np.zeros((0, len(patch_map.centroids)), np.uint8)
     h, w = patch_map.dims
     if hot_pixels:
-        keep = np.array([(int(xx), int(yy)) not in hot_pixels for xx, yy in zip(x, y)])
+        # Vectorized exclusion: one boolean image indexed by the flat
+        # coordinates (the per-event tuple-hash comprehension took tens of
+        # seconds on a 1e7-event traverse).
+        hot_mask = np.zeros(h * w, bool)
+        for hx, hy in hot_pixels:
+            if 0 <= hy < h and 0 <= hx < w:
+                hot_mask[int(hy) * w + int(hx)] = True
+        keep = ~hot_mask[y.astype(np.int64) * w + x.astype(np.int64)]
         t, x, y = t[keep], x[keep], y[keep]
     flat = y.astype(np.int64) * w + x.astype(np.int64)
     slots = patch_map.lookup[flat]

@@ -55,6 +55,23 @@ def _load_events(args):
         dims = (h, w)
     else:
         raise FileNotFoundError(f"no {stem}.parquet/.zip/.txt")
+    if dims[0] <= 0 or dims[1] <= 0:
+        # The "width height" header is optional in text/zip event files;
+        # without it the sensor geometry is unknown and every downstream
+        # representation would crash obscurely (or silently emit 0x0
+        # frames).  Infer it from the event extents, which is always a
+        # valid crop for the representations this CLI builds.
+        if len(x) == 0:
+            raise ValueError(
+                f"{stem}: no 'width height' header and no events to infer "
+                "the sensor dimensions from"
+            )
+        dims = (int(y.max()) + 1, int(x.max()) + 1)
+        print(
+            f"note: no dimensions header in {args.input_file}; inferred "
+            f"(h, w)={dims} from event extents",
+            file=sys.stderr,
+        )
     return t, x, y, dims
 
 

@@ -40,6 +40,8 @@ def model_logger(output_base: str = "./lens/output", name: str = "LENS"):
 
     logger = logging.getLogger(name)
     if logger.hasHandlers():
+        for h in logger.handlers:
+            h.close()  # a cleared-but-open FileHandler leaks one fd per run
         logger.handlers.clear()
     logger.setLevel(logging.DEBUG)
     fmt = logging.Formatter("%(asctime)-15s %(levelname)-8s %(message)s")

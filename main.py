@@ -33,7 +33,9 @@ def initialize_and_run_model(cfg):
     return run_inference(cfg)
 
 
-def main(argv=None):
+def run_cli(argv=None):
+    """Parse args and dispatch; returns the mode's result object (used by
+    tests and programmatic callers)."""
     setup_jax()
     cfg = config_from_args(argv)
     if cfg.nocuda:
@@ -45,5 +47,13 @@ def main(argv=None):
     return initialize_and_run_model(cfg)
 
 
+def main(argv=None) -> int:
+    """Console entry (`lens-tpu`): setuptools scripts sys.exit(main()), so
+    this must return an int status, not the mode's result object (whose
+    truthy repr would exit 1 and spill to stderr on every success)."""
+    run_cli(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -14,7 +14,9 @@ from lens_tpu.config import LensConfig, build_arg_parser
 from lens_tpu.utils.jaxsetup import setup_jax
 
 
-def main(argv=None):
+def run_cli(argv=None):
+    """Parse args and run the sweep; returns the SweepResult (used by tests
+    and programmatic callers)."""
     setup_jax()
     parser = build_arg_parser()
     parser.add_argument("--n_trials", type=int, default=8, help="Sweep trials")
@@ -42,5 +44,13 @@ def main(argv=None):
     )
 
 
+def main(argv=None) -> int:
+    """Console entry (`lens-tpu-sweep`): setuptools scripts sys.exit(main()),
+    so this must return an int status — returning the SweepResult itself
+    would dump its repr to stderr and exit 1 on every successful sweep."""
+    run_cli(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

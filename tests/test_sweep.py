@@ -23,7 +23,7 @@ def test_optimizer_cli_entry(tiny_dataset_cfg):
     import optimizer
 
     cfg = tiny_dataset_cfg
-    res = optimizer.main(
+    res = optimizer.run_cli(
         [
             "--dataset", cfg.dataset,
             "--camera", cfg.camera,

@@ -45,3 +45,33 @@ def test_frames_from_event_arrays_counts(tmp_path):
     assert img0[2, 1] == 2 and img0[0, 3] == 1
     img1 = np.asarray(Image.open(out_dir / "images_00001.png"))
     assert img1[4, 4] == 7
+
+
+def test_analyze_reproduces_run_pipeline_both_modes():
+    """analyze() must reproduce the inference run's own numbers: raw counts
+    with apply_sequence and the saved (already sequence-matched) matrix must
+    agree with each other AND with the run pipeline computed by hand
+    (sequence conv -> make_gt_tolerant(L, tol) -> recall; PR on the
+    transposed orientation, run_model.py evaluate)."""
+    from lens_tpu.metrics.gt import make_gt_tolerant
+    from lens_tpu.metrics.vpr import create_pr, recall_at_k
+    from lens_tpu.ops.seqmatch import sequence_conv
+    from lens_tpu.run_model import RECALL_NS
+
+    rng = np.random.default_rng(6)
+    counts = rng.integers(0, 40, (30, 30)).astype(np.float64)
+    GT = np.eye(30)
+    L, tol = 2, 3
+
+    from_raw = analyze(counts, GT, sequence_length=L, gt_tolerance=tol,
+                       apply_sequence=True)
+    S_seq = np.asarray(sequence_conv(counts, L))
+    from_saved = analyze(S_seq, GT, sequence_length=L, gt_tolerance=tol)
+    assert from_raw["recall_at_n"] == from_saved["recall_at_n"]
+    assert from_raw["precision"] == from_saved["precision"]
+
+    GTtol = make_gt_tolerant(GT, L, tol)
+    hand = {n: round(recall_at_k(S_seq, GTtol, K=n), 4) for n in RECALL_NS}
+    assert from_saved["recall_at_n"] == hand
+    P, R, _ = create_pr(S_seq.T, GTtol.T, matching="single", n_thresh=100)
+    assert from_saved["precision"] == P and from_saved["recall"] == R
