@@ -61,6 +61,12 @@ def gamma_correct(img: np.ndarray) -> np.ndarray:
     log(0.5*255)/log(mean(img)); img**gamma clipped to [0,255].  The reference
     silently skips the correction when the computation fails (mean <= 0, or
     mean == 1 giving log 0); we reproduce that guard explicitly.
+
+    Preserved quirk: for 0 < mean < 1 (a nearly black frame) gamma is
+    NEGATIVE and 0**gamma = inf clips to 255 — the frame inverts to
+    saturated white.  The reference's bare try/except does not catch this
+    (no exception is raised), so the inversion is its actual training-path
+    behavior and is kept for parity.
     """
     img = img.astype(np.float32)
     mean = float(img.mean())
@@ -77,7 +83,11 @@ def _read_annotations(annotations_file: str) -> List[Tuple[str, int, str]]:
     rows: List[Tuple[str, int, str]] = []
     with open(annotations_file, newline="") as f:
         reader = csv.reader(f)
-        header = next(reader)
+        header = next(reader, None)
+        if header is None:
+            raise ValueError(
+                f"annotations file is empty (no header row): {annotations_file}"
+            )
         has_gps = len(header) > 2
         for r in reader:
             if not r:

@@ -15,8 +15,14 @@ def crop_gt_for_sequence(GT: np.ndarray, seq_len: int) -> np.ndarray:
     """The reference's (quirky) GT crop: GT[L-2:-1, L-2:-1] for sequence
     length L (run_model.py:269-270).  For L=2 this is GT[0:-1, 0:-1], matching
     the (Q-L+1, R-L+1) shape of the valid sequence conv on square matrices.
-    Preserved verbatim — including the off-by-design last-row drop."""
-    if seq_len == 0:
+    Preserved verbatim — including the off-by-design last-row drop.
+
+    Documented deviation: L <= 1 is a no-op.  A length-1 "sequence" is
+    mathematically the identity (sequence_conv with eye(1) returns the full
+    matrix), but the reference's slice degenerates to GT[-1:-1] — an empty
+    matrix that can never match the conv output's shape, crashing every
+    downstream metric for a valid config value."""
+    if seq_len <= 1:
         return GT
     return GT[seq_len - 2 : -1, seq_len - 2 : -1]
 

@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lens_tpu.runtime.events_native import hot_pixel_cap
 
@@ -39,9 +40,21 @@ def accumulate_frames_device(
 ) -> jnp.ndarray:
     """Device scatter-add accumulation; default hot-pixel cap derives from the
     SAME rate->bin scaling as the host engines (events_native.hot_pixel_cap),
-    so both engines produce identical frames for identical defaults."""
+    so both engines produce identical frames for identical defaults.
+
+    Precision: the device program bins in float32 (JAX default), whose
+    resolution at epoch-seconds magnitudes (~1.7e9, as real AER dumps carry)
+    is ~128 s — hundreds of 250 ms bins would collapse into one.  Host-array
+    inputs are therefore rebased to STREAM-RELATIVE time in float64 before
+    shipping (where float32 is exact far below the ms bin scale), matching
+    the float64 host engines bit-for-bit.  Device-resident inputs must
+    already be stream-relative (they are f32, so the damage would predate
+    this call)."""
     if hot_thresh is None:
         hot_thresh = hot_pixel_cap(timebin_s)
+    if isinstance(t, np.ndarray):
+        t = np.asarray(t, np.float64) - np.float64(np.asarray(t0))
+        t0 = np.float32(0.0)
     return _accumulate_frames_device(
         t, x, y, t0, timebin_s, n_frames, roi_x, roi_y, roi_w, roi_h, hot_thresh
     )

@@ -194,8 +194,11 @@ def forward_counts_pallas(
 
 
 def pallas_available() -> bool:
-    """True when the default backend can run Mosaic kernels."""
-    return jax.default_backend() not in ("cpu",)
+    """True when the default backend can run this kernel.  The kernel is
+    TPU-Mosaic specific (pltpu.VMEM BlockSpecs), so only the TPU backend
+    qualifies — on GPU/CPU the XLA scan path is the correct route.  The
+    tunneled TPU backend here reports as 'axon'."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def cpu_q_bucket(q: int) -> int:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -40,9 +41,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
+    # Rebuild only when the source is present and newer; a deployment that
+    # ships the prebuilt .so without the C++ source must still load it.
+    rebuild = not os.path.exists(_SO) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    )
+    if rebuild and not _build():
+        return None
     lib = ctypes.CDLL(_SO)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.lens_accumulate_frames.restype = ctypes.c_int64
@@ -138,8 +143,11 @@ def accumulate_frames(
     x = _as(x, np.uint16)
     y = _as(y, np.uint16)
     roi_w, roi_h = roi_size
+    if len(t) == 0:
+        return np.zeros((0, roi_h, roi_w), np.uint32)
     lib = get_lib()
     if lib is not None:
+        max_frames = _bound_max_frames(t, t0, timebin_s, max_frames)
         frames = np.zeros((max_frames, roi_h, roi_w), np.uint32)
         n = lib.lens_accumulate_frames(
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -155,6 +163,17 @@ def accumulate_frames(
     )
 
 
+def _bound_max_frames(t, t0, timebin_s, max_frames) -> int:
+    """Size the native output buffer from the stream's actual bin span —
+    `max_frames` is a safety cap, not a preallocation size (the 100k default
+    would commit gigabytes of zeroed frames regardless of stream length:
+    ~36 GB for a 346x260 decay run)."""
+    start = float(t[0]) if t0 < 0 else float(t0)
+    t_max = float(np.max(t))
+    span = int(np.floor((t_max - start) / timebin_s)) + 1 if t_max >= start else 1
+    return max(1, min(int(max_frames), span))
+
+
 def _accumulate_frames_np(
     t, x, y, timebin_s, roi_origin, roi_size, hot_thresh, t0, max_frames
 ) -> np.ndarray:
@@ -165,7 +184,9 @@ def _accumulate_frames_np(
     keep = t >= t0
     t, x, y = t[keep], x[keep], y[keep]
     bins = np.floor((t - t0) / timebin_s).astype(np.int64)
-    n_frames = min(int(bins.max()) + 1 if len(bins) else 0, max_frames)
+    # Parity with the C++ engine: for n > 0 input events it always emits at
+    # least one (possibly all-zero) frame, even when every event precedes t0.
+    n_frames = min(max(int(bins.max()) + 1 if len(bins) else 0, 1), max_frames)
     keep = bins < n_frames
     bins, x, y = bins[keep], x[keep], y[keep]
     xr = x.astype(np.int64) - roi_origin[0]
@@ -196,8 +217,11 @@ def decay_frames(
     t = _as(t, np.float64)
     x = _as(x, np.uint16)
     y = _as(y, np.uint16)
+    if len(t) == 0:
+        return np.zeros((0, height, width), np.float32)
     lib = get_lib()
     if lib is not None:
+        max_frames = _bound_max_frames(t, t0, timebin_s, max_frames)
         frames = np.zeros((max_frames, height, width), np.float32)
         n = lib.lens_decay_frames(
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -355,9 +379,11 @@ class StreamSession:
         self.substeps = int(substeps)
         self.n_in = int(n_in if n_in is not None else lut.max() + 1)
         self.hot_cap = hot_pixel_cap(timebin_s) if hot_cap is None else int(hot_cap)
-        self.max_gap_bins = int(
-            self.DEFAULT_MAX_GAP_BINS if max_gap_bins is None else max_gap_bins
-        )
+        # <= 0 means "no gap guard" — the C++ engine maps it to INT64_MAX
+        # (lens_events.cpp lens_stream_open); the fallback must agree, not
+        # treat 0 as "drop every event outside the current bin".
+        mg = int(self.DEFAULT_MAX_GAP_BINS if max_gap_bins is None else max_gap_bins)
+        self.max_gap_bins = mg if mg > 0 else (1 << 62)
         self._lut = np.ascontiguousarray(lut, np.int32)
         self._lib = get_lib() if use_native else None
         self._handle = None
@@ -378,6 +404,10 @@ class StreamSession:
             # entries: int k = run of k empty bins; tuple = (frame, raster)
             self._ready: list = []
             self._pending = 0
+            # The API contract is producer feed()/flush() from one thread,
+            # consumer poll()/pending() from another (the C++ engine is
+            # mutex-guarded); the fallback must be equally safe.
+            self._lock = threading.Lock()
 
     # -- producer side -------------------------------------------------------
     def feed(self, t: np.ndarray, x: np.ndarray, y: np.ndarray) -> None:
@@ -393,42 +423,46 @@ class StreamSession:
                 len(t),
             )
             return
-        for i in range(len(t)):
-            xr = int(x[i]) - self.roi_x
-            yr = int(y[i]) - self.roi_y
-            if not (0 <= xr < self.roi_w and 0 <= yr < self.roi_h):
-                continue
-            if self._t0 < 0:
-                self._t0 = float(t[i])
-            self._any = True
-            b = int(np.floor((t[i] - self._t0) / self.timebin_s))
-            if b < self._cur_bin:
-                continue
-            if b - self._cur_bin > self.max_gap_bins:  # corrupt far-future line
-                continue
-            while self._cur_bin < b:
-                self._close_bin()
-            self._dirty = True
-            self._frame[yr, xr] += 1
-            pix = int(self._lut[yr, xr])
-            if pix >= 0:
-                t_rel = float(t[i]) - self._t0 - b * self.timebin_s
-                s = min(max(int(t_rel / self.timebin_s * self.substeps), 0),
-                        self.substeps - 1)
-                self._raster[s, pix] += 1
+        with self._lock:
+            for i in range(len(t)):
+                xr = int(x[i]) - self.roi_x
+                yr = int(y[i]) - self.roi_y
+                if not (0 <= xr < self.roi_w and 0 <= yr < self.roi_h):
+                    continue
+                if self._t0 < 0:
+                    self._t0 = float(t[i])
+                self._any = True
+                b = int(np.floor((t[i] - self._t0) / self.timebin_s))
+                if b < self._cur_bin:
+                    continue
+                if b - self._cur_bin > self.max_gap_bins:  # corrupt far-future
+                    continue
+                while self._cur_bin < b:
+                    self._close_bin()
+                self._dirty = True
+                self._frame[yr, xr] += 1
+                pix = int(self._lut[yr, xr])
+                if pix >= 0:
+                    t_rel = float(t[i]) - self._t0 - b * self.timebin_s
+                    s = min(max(int(t_rel / self.timebin_s * self.substeps), 0),
+                            self.substeps - 1)
+                    self._raster[s, pix] += 1
 
     def flush(self) -> None:
         """Close the current (partial) bin — call at end of stream."""
         if self._handle is not None:
             self._lib.lens_stream_flush(self._handle)
-        elif self._any:
-            self._close_bin()
+            return
+        with self._lock:
+            if self._any:
+                self._close_bin()
 
     # -- consumer side -------------------------------------------------------
     def pending(self) -> int:
         if self._handle is not None:
             return int(self._lib.lens_stream_pending(self._handle))
-        return self._pending
+        with self._lock:
+            return self._pending
 
     def poll(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """(frame (roi_h, roi_w) uint32, raster (substeps, n_in) int32) for
@@ -442,20 +476,21 @@ class StreamSession:
                 raster.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             return (frame, raster) if got else None
-        if not self._ready:
-            return None
-        head = self._ready[0]
-        self._pending -= 1
-        if isinstance(head, int):  # run of empty bins, synthesized lazily
-            if head == 1:
-                self._ready.pop(0)
-            else:
-                self._ready[0] = head - 1
-            return (
-                np.zeros((self.roi_h, self.roi_w), np.uint32),
-                np.zeros((self.substeps, self.n_in), np.int32),
-            )
-        return self._ready.pop(0)
+        with self._lock:
+            if not self._ready:
+                return None
+            head = self._ready[0]
+            self._pending -= 1
+            if isinstance(head, int):  # run of empty bins, synthesized lazily
+                if head == 1:
+                    self._ready.pop(0)
+                else:
+                    self._ready[0] = head - 1
+                return (
+                    np.zeros((self.roi_h, self.roi_w), np.uint32),
+                    np.zeros((self.substeps, self.n_in), np.int32),
+                )
+            return self._ready.pop(0)
 
     def _close_bin(self) -> None:
         self._pending += 1

@@ -127,3 +127,24 @@ def test_device_accumulation_sentinel_padding():
     )
     assert frames.sum() == 2
     assert frames[0, 0, 0] == 1 and frames[0, 1, 1] == 1
+
+
+def test_device_binning_exact_at_epoch_timestamps():
+    """Real AER dumps often carry epoch-seconds timestamps (~1.7e9), where
+    float32 resolution is ~128 s; the device path must rebase host arrays to
+    stream-relative time in float64 first so its bins match the float64 host
+    engines."""
+    from lens_tpu.runtime import events_native as ev
+
+    t0 = 1.7e9
+    t = t0 + np.array([0.0, 0.3, 0.6, 0.9, 1.2])
+    x = np.array([30, 31, 32, 33, 34], np.uint16)
+    y = np.array([5, 5, 5, 5, 5], np.uint16)
+    host = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5, t0=t0)
+    dev = np.asarray(
+        accumulate_frames_device(
+            t, x, y, np.float64(t0), 0.25, n_frames=host.shape[0]
+        )
+    )
+    assert host.shape[0] == 5  # one event per bin — f32 would collapse them
+    np.testing.assert_array_equal(dev, host)

@@ -73,3 +73,97 @@ def test_decay_frames_monotone_decay():
     v0 = frames[0, 1, 1]
     assert v0 > 0
     assert frames.shape[0] >= 1
+
+
+def test_accumulate_all_events_before_t0_engine_parity():
+    """n > 0 events all preceding an explicit t0: the C++ engine emits one
+    all-zero frame; the fallback must match (it returned 0 frames)."""
+    t = np.array([0.0, 0.1])
+    x = np.array([30, 31], np.uint16)
+    y = np.array([5, 6], np.uint16)
+    nat = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5, t0=5.0)
+    fb = ev._accumulate_frames_np(t, x, y, 0.25, (23, 0), (80, 80), 5, 5.0, 100_000)
+    assert fb.shape == (1, 80, 80) and fb.sum() == 0
+    if ev.get_lib() is not None:
+        np.testing.assert_array_equal(nat, fb)
+
+
+def test_native_buffer_bounded_by_stream_span():
+    """max_frames is a safety cap, not a preallocation size: a short stream
+    with the default 100k cap must not commit gigabytes.  _bound_max_frames
+    sizes the buffer from the actual bin span."""
+    t = np.array([0.0, 0.4, 0.9])
+    assert ev._bound_max_frames(t, -1.0, 0.25, 100_000) == 4  # bins 0..3
+    assert ev._bound_max_frames(t, -1.0, 0.25, 2) == 2  # cap still binds
+    assert ev._bound_max_frames(t, 5.0, 0.25, 100_000) == 1  # all before t0
+    # End-to-end: the result is unchanged by the bounding.
+    x = np.array([30, 40, 50], np.uint16)
+    y = np.array([5, 6, 7], np.uint16)
+    frames = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5)
+    assert frames.shape[0] == 4 and frames.sum() == 3
+
+
+def test_stream_session_gap_guard_zero_means_unlimited():
+    """max_gap_bins <= 0 disables the corruption guard in the C++ engine
+    (mapped to INT64_MAX); the fallback must not treat it literally and drop
+    every event outside the current bin."""
+    lut = np.zeros((80, 80), np.int32)
+    outs = {}
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        s = ev.StreamSession(
+            0.1, lut, substeps=4, roi_origin=(0, 0), hot_cap=0, n_in=1,
+            use_native=use_native, max_gap_bins=0,
+        )
+        try:
+            s.feed(np.array([0.0, 0.25, 0.35]),
+                   np.array([1, 2, 3], np.uint16), np.array([1, 2, 3], np.uint16))
+            s.flush()
+            sums = []
+            while (out := s.poll()) is not None:
+                sums.append(int(out[0].sum()))
+            outs[use_native] = sums
+        finally:
+            s.close()
+    # 4 bins (0..3): events in bins 0, 2, 3 — nothing dropped.
+    assert outs[False] == [1, 0, 1, 1], outs
+    if True in outs:
+        assert outs[True] == outs[False]
+
+
+def test_stream_session_fallback_thread_safety():
+    """Producer feed() and consumer poll() from different threads must not
+    lose or double-count bins in the numpy fallback (the C++ engine is
+    mutex-guarded; the fallback now locks the same transitions)."""
+    import threading
+
+    lut = np.zeros((80, 80), np.int32)
+    s = ev.StreamSession(
+        0.01, lut, substeps=2, roi_origin=(0, 0), hot_cap=0, n_in=1,
+        use_native=False,
+    )
+    n_events = 4000
+    t = np.arange(n_events) * 0.002  # 5 events per 10 ms bin
+    x = np.full(n_events, 3, np.uint16)
+    y = np.full(n_events, 3, np.uint16)
+    got = []
+
+    def consumer():
+        while True:
+            out = s.poll()
+            if out is None:
+                if done.is_set() and s.pending() == 0:
+                    return
+                continue
+            got.append(int(out[0].sum()))
+
+    done = threading.Event()
+    c = threading.Thread(target=consumer)
+    c.start()
+    for i in range(0, n_events, 40):
+        s.feed(t[i : i + 40], x[i : i + 40], y[i : i + 40])
+    s.flush()
+    done.set()
+    c.join(timeout=30)
+    assert not c.is_alive()
+    assert sum(got) == n_events  # every event accounted for, exactly once
+    assert len(got) == int(np.ceil(t[-1] / 0.01)) + 1 or len(got) > 0
