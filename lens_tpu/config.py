@@ -99,6 +99,7 @@ class LensConfig:
     shard_db: bool = False  # force TP-sharding of the place/database axis
     shard_db_auto_places: int = 65536  # auto-TP when reference_places >= this
     precision: str = "f32"  # 'f32' | 'bf16' — GEMM operand precision (float path)
+    resume: bool = False  # --train_model: continue from the last block checkpoint
 
     # --- derived (filled by __post_init__) ---
     input: int = field(init=False, default=0)
@@ -186,6 +187,8 @@ _HELP = {
     "precision": "GEMM operand precision for float inference: 'f32' (default) "
     "or 'bf16' (MXU-native, ~2x matmul throughput on GEMM-bound models; "
     "weights rounded to bf16, accumulation stays f32)",
+    "resume": "Resume an interrupted --train_model run from its last "
+    "epoch-block checkpoint (bit-identical to an uninterrupted run)",
 }
 
 

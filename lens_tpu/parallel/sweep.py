@@ -163,13 +163,14 @@ def run_sweep(
             else ""
         )
     )
-    # Epoch-block chunking (as in train_model.train): shorter scans compile
-    # reliably on the remote TPU toolchain and bound per-dispatch latency.
-    # Cap the chunk at ~4096 scan steps regardless of dataset size — longer
-    # STDP scan modules have hung the remote compiler (BENCHMARKS.md notes);
-    # chunk boundaries cannot change results (the annealing clock uses
-    # start_step; resume-equality is tested).
-    block = min(32, max(1, 4096 // n)) * n
+    # Chunking (as in train_model.train): shorter scans compile reliably on
+    # the remote TPU toolchain and bound per-dispatch latency.  HARD-cap the
+    # chunk at ~4096 scan steps regardless of dataset size — longer STDP
+    # scan modules have hung the remote compiler (BENCHMARKS.md notes), and
+    # the sweep has no checkpoint alignment to respect, so sub-epoch chunks
+    # are fine; chunk boundaries cannot change results (the annealing clock
+    # uses start_step; resume-equality is tested).
+    block = max(1, min(32 * n, 4096))
 
     def feat_chunk(st_b, sl, start):
         return jax.vmap(
@@ -182,17 +183,19 @@ def run_sweep(
     for s0 in range(0, total_f, block):
         feat_b = feat_chunk(feat_b, slice(s0, min(s0 + block, total_f)), s0)
 
-    def out_chunk(fst, ost, sl, start):
-        spikes = clamp_spikes(X @ fst.w, fst.thr)
-        return train_layer_scan(
-            ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
-            total_steps=total_o, start_step=start,
-            prev_fire_rate=fst.fire_rate,
-        )
+    # Frozen feature responses: one batched GEMM per trial, computed ONCE —
+    # they depend only on the final feat_b, not on the output-chunk loop.
+    spikes_b = jax.vmap(lambda f: clamp_spikes(X @ f.w, f.thr))(feat_b)
 
     for s0 in range(0, total_o, block):
         sl = slice(s0, min(s0 + block, total_o))
-        out_b = jax.vmap(lambda f, o: out_chunk(f, o, sl, s0))(feat_b, out_b)
+        out_b = jax.vmap(
+            lambda spikes, fire, ost: train_layer_scan(
+                ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
+                total_steps=total_o, start_step=s0,
+                prev_fire_rate=fire,
+            )
+        )(spikes_b, feat_b.fire_rate, out_b)
 
     # --- batched inference -------------------------------------------------
     params_b = LensParams(

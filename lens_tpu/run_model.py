@@ -255,7 +255,8 @@ def evaluate(cfg: LensConfig, params, logger, output_folder: str) -> InferenceRe
             cfg.data_dir, cfg.dataset, cfg.camera, cfg.reference
         )
         sad_pr, sad_recall = run_sad(
-            reference_dir, query_dir, GTtol, output_folder, cfg.sequence_length
+            reference_dir, query_dir, GTtol, output_folder, cfg.sequence_length,
+            skip=cfg.filter, n_ref=cfg.reference_places, n_query=cfg.query_places,
         )
         if lens_pr is not None:
             artifacts.plot_pr_comparison(lens_pr, sad_pr, output_folder)

@@ -101,6 +101,9 @@ def _round_int(x) -> np.ndarray:
     return np.rint(np.asarray(x, np.float64))
 
 
+_DISCRETIZE_CACHE: dict = {}
+
+
 def discretize(
     params: LensParams,
     spike_thresholds: SpikeThresholds = SpikeThresholds(),
@@ -113,12 +116,26 @@ def discretize(
     discretize=True)); the IAF defaults there come from sinabs.from_model:
     spike_threshold=1.0, min_v_mem=-1.0, so the state scale is 32767 unless
     a threshold override (e.g. streaming's 10/2, run_speck.py:143-144) binds.
+
+    Memoized per weight buffer: run_model calls compute_similarity many
+    times per evaluation (throughput batch + the measured single-query p50
+    samples), and re-discretizing each call would fetch/quantize/re-upload
+    the weights per sample — on a large DB that transfer would dominate the
+    reported p50 — and defeat the downstream _PALLAS_PARAMS/_INT8_VIEW
+    caches keyed on the returned arrays' identity.
     """
+    key = (
+        id(params.w_feat), id(params.w_out), tuple(spike_thresholds),
+        float(min_v_mem),
+    )
+    hit = _DISCRETIZE_CACHE.get(key)
+    if hit is not None and hit[0] is params.w_feat and hit[1] is params.w_out:
+        return hit[2]
     w_feat = np.asarray(params.w_feat)
     w_out = np.asarray(params.w_out)
     s_feat = _layer_scale(w_feat, spike_thresholds.feat, min_v_mem)
     s_out = _layer_scale(w_out, spike_thresholds.out, min_v_mem)
-    return QuantizedParams(
+    qp = QuantizedParams(
         w_feat=jnp.asarray(_round_int(w_feat * s_feat), jnp.int32),
         w_out=jnp.asarray(_round_int(w_out * s_out), jnp.int32),
         thr_feat=int(_round_int(spike_thresholds.feat * s_feat)),
@@ -128,6 +145,10 @@ def discretize(
         scale_feat=s_feat,
         scale_out=s_out,
     )
+    if len(_DISCRETIZE_CACHE) >= 16:
+        _DISCRETIZE_CACHE.pop(next(iter(_DISCRETIZE_CACHE)))
+    _DISCRETIZE_CACHE[key] = (params.w_feat, params.w_out, qp)
+    return qp
 
 
 def forward_counts_quantized_bucketed(

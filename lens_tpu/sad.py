@@ -26,11 +26,17 @@ def _natural_key(s: str):
     return [int(t) if t.isdigit() else t.lower() for t in re.split(r"([0-9]+)", s)]
 
 
-def load_image_folder(folder: str) -> np.ndarray:
-    """All PNGs in natural-sort order, flattened (sad.py:15-23)."""
+def load_image_folder(
+    folder: str, skip: int = 1, max_images: int = 0
+) -> np.ndarray:
+    """PNGs in natural-sort order, flattened (sad.py:15-23), with the same
+    every-`skip` / first-`max_images` selection the LENS dataset loader
+    applies (dataset.py:76-94) so both pipelines see the same traverse."""
     names = sorted(
         (f for f in os.listdir(folder) if f.endswith(".png")), key=_natural_key
-    )
+    )[:: max(int(skip), 1)]
+    if max_images > 0:
+        names = names[:max_images]
     imgs = [
         np.asarray(Image.open(os.path.join(folder, f)).convert("L"), np.float32).ravel()
         for f in names
@@ -44,10 +50,20 @@ def run_sad(
     GT: np.ndarray,
     outputdir: str,
     sequence_length: int,
+    skip: int = 1,
+    n_ref: int = 0,
+    n_query: int = 0,
 ) -> Tuple[Dict[str, List[float]], List[float]]:
-    """Returns (PR data dict, Recall@N list) like reference run_sad."""
-    queries = load_image_folder(query_dir)
-    references = load_image_folder(reference_dir)
+    """Returns (PR data dict, Recall@N list) like reference run_sad.
+
+    Documented deviation: the reference loads EVERY PNG in each folder
+    (sad.py:15-23) while its LENS pipeline caps/filters via the dataset CSV,
+    so with oversized folders or --filter > 1 its SAD matrix shape cannot
+    match the GT (crash) or silently scores a different image subset.  Here
+    the same skip/cap selection applies to both pipelines.
+    """
+    queries = load_image_folder(query_dir, skip, n_query)
+    references = load_image_folder(reference_dir, skip, n_ref)
 
     dist = np.asarray(l1_cdist(queries, references))  # (Q, R)
     dist_seq = np.asarray(sequence_conv(dist, sequence_length))

@@ -215,19 +215,23 @@ def train(cfg: LensConfig, logger=None, checkpoint_every: int = 32,
         # Cap each scan chunk at ~4096 steps: longer STDP scan modules have
         # hung the remote TPU compiler (chunking cannot change results — the
         # annealing clock uses start_step; resume-equality is tested).
+        # Checkpoints stay on epoch boundaries, but within a block the scan
+        # dispatches in <=4096-step sub-chunks so datasets with n > 4096
+        # samples per epoch do not re-expose the long-module hang.
         block = min(max(1, checkpoint_every), max(1, 4096 // n))
         for e0 in range(start_epoch, epochs, block):
             e1 = min(e0 + block, epochs)
-            sl = slice(e0 * n, e1 * n)
-            state = train_layer_scan(
-                state,
-                hyper,
-                inputs[order[sl]],
-                idx_all[order[sl]],
-                total_steps=total,
-                prev_fire_rate=prev_fire_rate,
-                start_step=e0 * n,
-            )
+            for s0 in range(e0 * n, e1 * n, 4096):
+                sl = slice(s0, min(s0 + 4096, e1 * n))
+                state = train_layer_scan(
+                    state,
+                    hyper,
+                    inputs[order[sl]],
+                    idx_all[order[sl]],
+                    total_steps=total,
+                    prev_fire_rate=prev_fire_rate,
+                    start_step=s0,
+                )
             jax.block_until_ready(state.w)
             save_layer_state(ckpt, state, e1)
             log(f"  {name}: epoch {e1}/{epochs}")
@@ -275,7 +279,7 @@ def run_training(cfg: LensConfig) -> str:
     (reference train_model, train_model.py:213-252)."""
     checker.check_args(cfg)
     logger, _ = model_logger(cfg.output_base)
-    params = train(cfg, logger)
+    params = train(cfg, logger, resume=cfg.resume)
     path = checkpoint.save_model(
         cfg.models_dir, cfg.model_name(), params, cfg.to_json()
     )

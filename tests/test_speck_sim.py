@@ -308,3 +308,17 @@ def test_int8_route_exact_at_spike_bound_127():
     assert scan.max() > 0
 
     assert not quantized_int8_ok(make(128))  # bound 128: refused
+
+
+def test_discretize_memoized_per_buffer(small_params):
+    """discretize is called once per compute_similarity dispatch (incl. the
+    eleven p50 samples); it must return the identical QuantizedParams object
+    for the same weight buffers so the downstream identity-keyed caches
+    (Pallas views, int8 views) hit and no per-sample re-quantization or
+    re-upload happens."""
+    a = discretize(small_params)
+    b = discretize(small_params)
+    assert a is b
+    # Different thresholds are a different cache entry, not a collision.
+    c = discretize(small_params, SpikeThresholds(1.0, 10.0, 2.0))
+    assert c is not a and int(c.thr_feat) != int(a.thr_feat)
