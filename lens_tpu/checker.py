@@ -20,6 +20,16 @@ def check_args(cfg: LensConfig) -> None:
         "--precision bf16 is a float-path option; the quantized chip "
         "simulator (--simulated_speck) is integer-exact and stays f32"
     )
+    # ROI / dims compatibility (checker.py:22-26 probes an actual Conv2d; the
+    # conv with kernel=stride=k emits floor((roi - k)/k) + 1 windows).
+    # Checked in EVERY mode — including --collect_data, where a bad geometry
+    # would otherwise surface only after the whole collection run, at train
+    # time (the reference's checker also ran its probe unconditionally).
+    k = cfg.roi_dim // cfg.dims
+    assert k >= 1 and (cfg.roi_dim - k) // k + 1 == cfg.dims, (
+        "ROI dimension and final image size are incompatible"
+    )
+
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
 
@@ -56,9 +66,3 @@ def check_args(cfg: LensConfig) -> None:
             f" and a filter of {cfg.filter}"
         )
 
-    # ROI / dims compatibility (checker.py:22-26 probes an actual Conv2d; the
-    # conv with kernel=stride=k emits floor((roi - k)/k) + 1 windows).
-    k = cfg.roi_dim // cfg.dims
-    assert k >= 1 and (cfg.roi_dim - k) // k + 1 == cfg.dims, (
-        "ROI dimension and final image size are incompatible"
-    )

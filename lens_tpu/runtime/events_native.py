@@ -431,6 +431,20 @@ class StreamSession:
                     continue
                 if self._t0 < 0:
                     self._t0 = float(t[i])
+                # t0-poisoning guard, mirroring the C++ engine: before any
+                # bin has been emitted, an event earlier than t0 rebases the
+                # clock (a corrupt far-future FIRST line would otherwise make
+                # every real event "late" forever).
+                if (
+                    t[i] < self._t0
+                    and self._cur_bin == 0
+                    and self._pending == 0
+                    and not self._ready
+                ):
+                    self._t0 = float(t[i])
+                    self._frame[:] = 0
+                    self._raster[:] = 0
+                    self._dirty = False
                 self._any = True
                 b = int(np.floor((t[i] - self._t0) / self.timebin_s))
                 if b < self._cur_bin:

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -64,6 +64,7 @@ class PowerMonitor:
     sample_hz: float = 20.0
     _records: List[tuple] = field(default_factory=list)  # (t, events, synops, dt)
     _t0: float = field(default_factory=time.time)
+    _traces_cache: Optional[tuple] = field(default=None, repr=False)
 
     def record_bin(
         self,
@@ -83,27 +84,54 @@ class PowerMonitor:
         self._records.append((t, n_events, n_synops, duration_s))
 
     def traces(self) -> List[np.ndarray]:
-        """Five (n_samples, 2) float arrays of (timestamp, watts), 20 Hz."""
+        """Five (n_samples, 2) float arrays of (timestamp, watts), 20 Hz.
+
+        Rates are ENERGY-preserving per sample: each record's activity
+        spreads over max(d, sample_period) — a bin shorter than the 50 ms
+        sample period contributes ev/sample_period to its one covering
+        sample, not ev/d (dividing by the true d while widening the mask
+        overlapped short bins and inflated power by sample_period/d, e.g.
+        ~5x at timebin 10 ms).  One vectorized pass, memoized per record
+        count (shutdown calls save() and mean_total_mw() back-to-back; the
+        old per-record-mask x per-sample-Python-loop took minutes on
+        hour-scale streams).
+        """
         if not self._records:
             return [np.zeros((0, 2)) for _ in RAILS]
+        if self._traces_cache is not None and self._traces_cache[0] == len(
+            self._records
+        ):
+            return self._traces_cache[1]
+        period = 1.0 / self.sample_hz
         end = max(t + d for t, _, _, d in self._records)
-        ts = np.arange(0.0, end + 1e-9, 1.0 / self.sample_hz)
-        ev_rate = np.zeros_like(ts)
-        syn_rate = np.zeros_like(ts)
-        for t, ev, syn, d in self._records:
-            mask = (ts >= t) & (ts < t + max(d, 1.0 / self.sample_hz))
-            if mask.any() and d > 0:
-                ev_rate[mask] += ev / d
-                syn_rate[mask] += syn / d
-        out = []
-        for rail in RAILS:
-            watts = np.array(
-                [
-                    self.model.rail_powers(e, s)[rail]
-                    for e, s in zip(ev_rate, syn_rate)
-                ]
-            )
-            out.append(np.stack([ts, watts], axis=1))
+        n_samples = int(np.floor((end + 1e-9) / period)) + 1
+        ts = np.arange(n_samples) * period
+        ev_rate = np.zeros(n_samples)
+        syn_rate = np.zeros(n_samples)
+        rec = np.asarray(self._records, np.float64)  # (R, 4): t, ev, syn, d
+        t, ev, syn, d = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
+        d_eff = np.maximum(d, period)
+        i0 = np.ceil((t - 1e-12) / period).astype(np.int64).clip(0, n_samples)
+        i1 = np.ceil((t + d_eff - 1e-12) / period).astype(np.int64).clip(
+            i0, n_samples
+        )
+        i1 = np.maximum(i1, i0 + 1).clip(0, n_samples)
+        # Difference-array accumulation: add rate at i0, subtract at i1,
+        # cumulative-sum — O(R + S) instead of O(R x S) masks.
+        for rate_acc, amount in ((ev_rate, ev), (syn_rate, syn)):
+            dif = np.zeros(n_samples + 1)
+            np.add.at(dif, i0, amount / d_eff)
+            np.add.at(dif, i1, -(amount / d_eff))
+            rate_acc += np.cumsum(dif[:-1])
+        rails = {
+            "io": self.model.e_event_j * ev_rate,
+            "ram": self.model.e_sram_j * syn_rate,
+            "logic": self.model.e_synop_j * syn_rate,
+            "vddd": np.full(n_samples, self.model.p_static_vddd_w),
+            "vdda": np.full(n_samples, self.model.p_static_vdda_w),
+        }
+        out = [np.stack([ts, rails[rail]], axis=1) for rail in RAILS]
+        self._traces_cache = (len(self._records), out)
         return out
 
     def save(self, path: str) -> None:

@@ -47,6 +47,11 @@ from lens_tpu.config import LensConfig
 from lens_tpu.data.dataset import center_pixel_flat_indices
 from lens_tpu.models.lens import LensModel
 
+# Request-body ceiling: generous for any real frame batch (4096 frames of
+# 128x128 is 64 MB) while bounding what an unauthenticated client can make
+# the host buffer.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
 
 class _BinBatcher:
     """Micro-batches concurrent /stream/bin dispatches into ONE device
@@ -217,7 +222,6 @@ class ModelHost:
         self._sessions: dict = {}
         self._session_seq = 0
         self.max_sessions = 64  # bound host memory: evict the stalest session
-        self._px_rows = self._px_cols = None  # lazy center-pixel index cache
         self._qp_cache: dict = {}  # thresholds mode -> shared QuantizedParams
         self._batcher: Optional[_BinBatcher] = None
         # Warm-up compile so the first request pays no compilation latency.
@@ -293,16 +297,11 @@ class ModelHost:
         return {"session": sid, "thresholds": thresholds}
 
     def stream_bin(self, sid: str, frame_u8: np.ndarray) -> dict:
-        from lens_tpu.data.dataset import center_pixel_indices
         from lens_tpu.runtime.stream import even_spread_raster, substeps_for
 
-        if self._px_rows is None:
-            self._px_rows, self._px_cols = center_pixel_indices(
-                self.cfg.roi_dim, self.cfg.dims
-            )
-        down = (
-            frame_u8[self._px_rows][:, self._px_cols].astype(np.int64).reshape(-1)
-        )
+        # Same flat-index selection match() uses (self.sel) — one cache,
+        # one definition of the center-pixel downsample.
+        down = frame_u8.reshape(-1)[self.sel].astype(np.int64)
         steps = substeps_for(self.cfg.timebin)
         raster = even_spread_raster(down, steps)
         t0 = time.perf_counter()
@@ -383,10 +382,31 @@ def _make_handler(host: ModelHost):
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                # Bound host memory BEFORE buffering the body: the endpoint
+                # binds 0.0.0.0 and a client-declared 10 GB Content-Length
+                # must not be read into RAM to find out it is invalid.
+                if length < 0 or length > MAX_BODY_BYTES:
+                    self._send(
+                        413,
+                        {"error": f"body too large ({length} bytes; "
+                                  f"limit {MAX_BODY_BYTES})"},
+                    )
+                    return
                 raw = self.rfile.read(length)
                 if self.path == "/match":
                     n = int(self.headers.get("X-Frame-Count", 1))
                     roi = int(self.headers.get("X-Roi-Dim", host.cfg.roi_dim))
+                    # The center-pixel selection (host.sel) is computed for
+                    # the host's configured geometry; a different client ROI
+                    # would silently select wrong pixels (or IndexError as a
+                    # 500), so it is a validation error, not a view change.
+                    if roi != host.cfg.roi_dim:
+                        self._send(
+                            400,
+                            {"error": f"X-Roi-Dim {roi} does not match the "
+                                      f"host's roi_dim {host.cfg.roi_dim}"},
+                        )
+                        return
                     expected = n * roi * roi
                     if length != expected:
                         self._send(

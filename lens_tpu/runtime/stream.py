@@ -400,20 +400,29 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     t0 = t[0]
     bins = np.floor((t - t0) / timebin_s).astype(np.int64)
     # Corruption guard, mirroring the live ingest's max_gap_bins rule
-    # (events_native.StreamSession): one malformed far-future timestamp
-    # (e.g. microseconds parsed as seconds) would otherwise materialize
-    # billions of empty bins below.  Time-sorted, so everything from the
-    # first oversized jump onward is past the gap — truncate there (the live
-    # path likewise never advances across such a gap).
+    # (events_native.StreamSession): one malformed timestamp (e.g.
+    # microseconds parsed as seconds, or a near-zero garbage line) would
+    # otherwise materialize billions of empty bins below.  Time-sorted, so
+    # oversized jumps partition the stream into contiguous sane segments;
+    # keep the largest one (a corrupt far-FUTURE line sorts to the end, a
+    # corrupt far-PAST line to the front — either way the real recording is
+    # the big segment).
     max_gap = events_native.StreamSession.DEFAULT_MAX_GAP_BINS
     jumps = np.nonzero(np.diff(bins) > max_gap)[0]
     if jumps.size:
-        cut = int(jumps[0]) + 1
+        edges = np.concatenate(([0], jumps + 1, [len(bins)]))
+        seg = int(np.argmax(np.diff(edges)))
+        lo, hi = int(edges[seg]), int(edges[seg + 1])
         logging.getLogger("LENS").warning(
-            "event stream: dropping %d events after a %d-bin timestamp jump "
-            "(corrupt line?)", len(bins) - cut, int(bins[cut] - bins[cut - 1])
+            "event stream: dropping %d events across %d oversized timestamp "
+            "jumps (corrupt lines?)", len(bins) - (hi - lo), len(jumps)
         )
-        t, xr, yr, bins = t[:cut], xr[:cut], yr[:cut], bins[:cut]
+        t, xr, yr = t[lo:hi], xr[lo:hi], yr[lo:hi]
+        # Re-anchor the bin grid to the kept segment's first event (the
+        # grid was anchored to a possibly-corrupt t0; a no-op when the kept
+        # segment is the prefix).
+        t0 = float(t[0])
+        bins = np.floor((t - t0) / timebin_s).astype(np.int64)
     lut = center_pixel_lut(roi, cfg.dims)
     cap = cfg.hot_cap()
     n_in = cfg.dims * cfg.dims

@@ -15,6 +15,16 @@ _DONE = False
 def setup_jax(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
+        if cache_dir is not None:
+            # An explicit directory overrides whatever an earlier (default)
+            # call configured — silently dropping the caller's directive
+            # would land slow recompiles on the wrong volume.
+            import jax
+
+            os.makedirs(os.path.abspath(cache_dir), exist_ok=True)
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.abspath(cache_dir)
+            )
         return
     import jax
 
@@ -35,11 +45,22 @@ def force_cpu(min_devices: int = 1) -> None:
     unconditionally, so the JAX_PLATFORMS env var alone cannot select CPU —
     the config must be overridden before first backend use.
     """
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags and min_devices > 1:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={min_devices}"
-        ).strip()
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if min_devices > 1:
+        if m is None:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={min_devices}"
+            ).strip()
+        elif int(m.group(1)) < min_devices:
+            # A pre-set smaller count would silently starve the multichip
+            # tests of their virtual devices; min_devices is a MINIMUM.
+            os.environ["XLA_FLAGS"] = flags.replace(
+                m.group(0),
+                f"--xla_force_host_platform_device_count={min_devices}",
+            )
     import jax
 
     try:

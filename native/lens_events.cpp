@@ -310,6 +310,19 @@ void lens_stream_feed(void* h, const double* t, const uint16_t* x,
     const int yr = (int)y[i] - s->roi_y;
     if (xr < 0 || xr >= s->roi_w || yr < 0 || yr >= s->roi_h) continue;
     if (s->t0 < 0) s->t0 = t[i];
+    // t0-poisoning guard: if the FIRST in-ROI line was corrupt far-future,
+    // every real event would compute b < 0 and be dropped as "late" for the
+    // stream's whole lifetime.  While no bin has been emitted yet, an event
+    // earlier than t0 rebases the clock to it (discarding whatever the
+    // corrupt prefix accumulated) — after the first emitted bin the history
+    // is fixed and rebasing would corrupt it, so the late-event rule holds.
+    if (t[i] < s->t0 && s->cur_bin == 0 && s->pending_bins == 0 &&
+        s->ready.empty()) {
+      s->t0 = t[i];
+      std::fill(s->frame.begin(), s->frame.end(), 0u);
+      std::fill(s->raster.begin(), s->raster.end(), 0);
+      s->cur_dirty = false;
+    }
     s->any = true;
     const int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
     if (b < s->cur_bin) continue;  // late event: its bin already emitted

@@ -167,3 +167,27 @@ def test_stream_session_fallback_thread_safety():
     assert not c.is_alive()
     assert sum(got) == n_events  # every event accounted for, exactly once
     assert len(got) == int(np.ceil(t[-1] / 0.01)) + 1 or len(got) > 0
+
+
+def test_stream_session_t0_poisoning_rebase():
+    """A corrupt far-future FIRST line must not anchor the stream clock —
+    before any bin is emitted, an earlier event rebases t0 (both engines),
+    so the real stream is processed instead of dropped as 'late' forever."""
+    lut = np.zeros((80, 80), np.int32)
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        s = ev.StreamSession(
+            0.1, lut, substeps=4, roi_origin=(0, 0), hot_cap=0, n_in=1,
+            use_native=use_native,
+        )
+        try:
+            # Corrupt first line (t=9.9e6), then the real stream at t~100 s.
+            s.feed(np.array([9.9e6, 100.0, 100.25, 100.35]),
+                   np.array([1, 2, 3, 4], np.uint16),
+                   np.array([1, 2, 3, 4], np.uint16))
+            s.flush()
+            sums = []
+            while (out := s.poll()) is not None:
+                sums.append(int(out[0].sum()))
+            assert sums == [1, 0, 1, 1], (use_native, sums)
+        finally:
+            s.close()

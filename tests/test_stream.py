@@ -485,3 +485,36 @@ def test_power_trace_is_replay_speed_independent(tiny_dataset_cfg, tmp_path):
         )
     for tr1, tr4 in zip(traces[1], traces[4]):
         np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr4))
+
+
+def test_recorded_gap_guard_keeps_largest_segment(tiny_dataset_cfg, tmp_path):
+    """A corrupt far-PAST first line (near-zero garbage timestamp) must not
+    reduce the replay to that single event — the guard keeps the largest
+    sane segment and re-anchors the bin grid to it."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import aer_bin_source, substeps_for
+    from lens_tpu.tools.make_event_stream import synthesize_events
+
+    cfg = tiny_dataset_cfg
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 90, (4, cfg.roi_dim, cfg.roi_dim)).astype(np.float64)
+    events = synthesize_events(
+        frames, cfg.timebin / 1000.0, 1200, roi_origin=cfg.roi_origin, seed=2
+    )
+    # Recording starts more than max_gap_bins after the corrupt t=0.001
+    # line, so the prefix-vs-recording jump is oversized.
+    events[:, 0] += 1_100_000 * cfg.timebin / 1000.0
+    corrupt = np.concatenate(
+        [[[0.001, cfg.roi_x + 1, cfg.roi_y + 1, 1]], events]
+    )
+    clean_path, bad_path = str(tmp_path / "c.npy"), str(tmp_path / "b.npy")
+    np.save(clean_path, events)
+    np.save(bad_path, corrupt)
+    steps = substeps_for(cfg.timebin)
+    clean = list(aer_bin_source(replace(cfg, event_file=clean_path), steps))
+    bad = list(aer_bin_source(replace(cfg, event_file=bad_path), steps))
+    assert len(bad) == len(clean) > 0
+    for (r1, f1), (r2, f2) in zip(clean, bad):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)
