@@ -169,6 +169,10 @@ def section_headline(result: dict) -> None:
             "bottleneck": "VMEM-bandwidth-bound elementwise IAF chain "
             "(~11 f32 passes/step over the membrane tile); MXU util is "
             "expectedly tiny at this model scale — see BENCHMARKS.md",
+            "run_variance_note": "single-run figure; repeated runs on this "
+            "relay-tunneled chip have measured 189k-284k frames/s depending "
+            "on tunnel load (BENCHMARKS.md headline table) — cross-round "
+            "deltas inside that band are environment, not code",
         }
     )
     result["_params"] = params  # reused by the uint8 section
