@@ -272,3 +272,35 @@ def test_deferred_item_survives_wave_failure(monkeypatch):
     assert len(calls) >= 2
     served = [v for k, v in results if k == "ok"][0]
     assert served[0] == "served" and served[1] >= 2
+
+
+def test_match_roi_mismatch_is_400(server, tiny_dataset_cfg):
+    """A client X-Roi-Dim that differs from the host's geometry is a
+    validation error: the host's center-pixel selection is computed for its
+    own roi_dim, and applying it to a different layout would silently select
+    wrong pixels (or IndexError as a 500)."""
+    import urllib.error
+
+    _, _, port = server
+    roi = tiny_dataset_cfg.roi_dim + 8
+    body = np.zeros(roi * roi, np.uint8).tobytes()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/match", body, {"X-Frame-Count": "1", "X-Roi-Dim": str(roi)})
+    assert e.value.code == 400
+
+
+def test_oversized_body_is_413_before_buffering(server):
+    """A huge client-declared Content-Length must be refused before the
+    body is read into memory (the endpoint binds all interfaces)."""
+    import http.client
+
+    _, _, port = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.putrequest("POST", "/match")
+    conn.putheader("Content-Length", str(10 * 1024 * 1024 * 1024))  # 10 GB
+    conn.putheader("X-Frame-Count", "1")
+    conn.endheaders()
+    # Server must answer from the headers alone — send nothing further.
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
