@@ -30,6 +30,24 @@ def check_args(cfg: LensConfig) -> None:
         "ROI dimension and final image size are incompatible"
     )
 
+    # The sequence matcher's diagonal window must fit the similarity matrix
+    # (an oversized L yields silent zeros or a cryptic shape error downstream).
+    assert 0 <= cfg.sequence_length <= min(
+        cfg.query_places, cfg.reference_places
+    ), (
+        f"--sequence_length {cfg.sequence_length} exceeds the "
+        f"{cfg.query_places}x{cfg.reference_places} similarity matrix"
+    )
+
+    if cfg.train_model:
+        # The spike-forced output rule divides by the feature layer's fire
+        # rates (blitnet.py:185-215); an all-zero rate range would NaN the
+        # whole run silently.
+        assert cfg.fire_h_feat > 0, (
+            "--fire_h_feat must be > 0: the output layer's forced STDP rule "
+            "divides by the feature fire rates"
+        )
+
     basepath = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera)
     assert os.path.exists(basepath), f"Data directory does not exist: {basepath}"
 

@@ -223,6 +223,10 @@ def train_layer_scan(
     (replaces the reference's epochs x DataLoader Python loop,
     train_model.py:155-182).  `start_step` offsets the annealing clock so a
     full run can be split into checkpointable chunks."""
+    assert not (hyper.spk_force and prev_fire_rate is None), (
+        "spike-forced layers need prev_fire_rate (the forced rule divides "
+        "presynaptic spikes by the previous layer's fire rates)"
+    )
     ip0, stdp0 = hyper.ip_rate, hyper.stdp_rate
 
     def body(carry, inp):

@@ -27,6 +27,13 @@ def sequence_conv(sim: jnp.ndarray, seq_len: int) -> jnp.ndarray:
     if seq_len == 0:
         return sim
     q, r = sim.shape
+    # Fail fast on an impossible window: slices with negative stops wrap
+    # Python-style, so an oversized L would yield an empty matrix (silent
+    # 0.0 recall) or a cryptic stack-shape error (checker.py validates the
+    # CLI config; this guards programmatic callers).
+    assert 0 < seq_len <= min(q, r), (
+        f"sequence_length {seq_len} exceeds the similarity matrix {(q, r)}"
+    )
     windows = jnp.stack(
         [sim[k : q - seq_len + 1 + k, k : r - seq_len + 1 + k] for k in range(seq_len)]
     )

@@ -162,6 +162,7 @@ def sharded_quantized_counts(
         _quantized_hoisted_int8_jit,
         forward_counts_quantized,
         quantized_int8_ok,
+        quantized_scan_exact_ok,
     )
 
     if mesh is None:
@@ -190,6 +191,13 @@ def sharded_quantized_counts(
 
         return _place_sharded_counts(
             mesh, w_out_i8, shard_params, intensities, u_thresh, forward
+        )
+
+    if not quantized_scan_exact_ok(qparams):
+        raise ValueError(
+            "quantized model exceeds the f32 GEMM exactness envelope and "
+            "the int8 spike bound; no exact sharded route exists — rescale "
+            "the model or raise its spike thresholds"
         )
 
     def shard_params(w_out_sharded, jnp):

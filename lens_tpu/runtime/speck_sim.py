@@ -101,6 +101,27 @@ def _round_int(x) -> np.ndarray:
     return np.rint(np.asarray(x, np.float64))
 
 
+def _id_memo(cache: dict, anchors: tuple, extra: tuple, build):
+    """Bounded identity-keyed memo shared by this module's caches.
+
+    `anchors` (weight arrays) key by id() and are held strongly so their ids
+    cannot be recycled; `extra` adds the hashable scalars the value also
+    depends on.  Every cache that derives from a QuantizedParams must anchor
+    on BOTH weight buffers and include its scalar dependencies — a value
+    keyed on w_feat alone goes stale for a `_replace`d params sharing that
+    buffer (the pattern parallel/mesh.py uses).
+    """
+    key = tuple(map(id, anchors)) + extra
+    hit = cache.get(key)
+    if hit is not None and all(h is a for h, a in zip(hit[0], anchors)):
+        return hit[1]
+    val = build()
+    if len(cache) >= 16:
+        cache.pop(next(iter(cache)))
+    cache[key] = (anchors, val)
+    return val
+
+
 _DISCRETIZE_CACHE: dict = {}
 
 
@@ -124,31 +145,44 @@ def discretize(
     reported p50 — and defeat the downstream _PALLAS_PARAMS/_INT8_VIEW
     caches keyed on the returned arrays' identity.
     """
-    key = (
-        id(params.w_feat), id(params.w_out), tuple(spike_thresholds),
-        float(min_v_mem),
+    def build() -> QuantizedParams:
+        w_feat = np.asarray(params.w_feat)
+        w_out = np.asarray(params.w_out)
+        s_feat = _layer_scale(w_feat, spike_thresholds.feat, min_v_mem)
+        s_out = _layer_scale(w_out, spike_thresholds.out, min_v_mem)
+        thr_feat = int(_round_int(spike_thresholds.feat * s_feat))
+        thr_out = int(_round_int(spike_thresholds.out * s_out))
+        for name, thr_q, s in (
+            ("feature", thr_feat, s_feat), ("output", thr_out, s_out)
+        ):
+            if thr_q <= 0:
+                # scale < 0.5/threshold: the weights dwarf the spike
+                # threshold so badly that it rounds to 0 — the integer IAF
+                # would floor-divide by zero and return all-zero counts with
+                # no error.  Fail fast instead of simulating garbage.
+                raise ValueError(
+                    f"discretize: the {name} layer's spike threshold rounds "
+                    f"to 0 at scale {s:.4g} (|w| too large for the 8-bit "
+                    "range at this threshold); rescale the weights or raise "
+                    "the spike threshold"
+                )
+        return QuantizedParams(
+            w_feat=jnp.asarray(_round_int(w_feat * s_feat), jnp.int32),
+            w_out=jnp.asarray(_round_int(w_out * s_out), jnp.int32),
+            thr_feat=thr_feat,
+            thr_out=thr_out,
+            minv_feat=int(_round_int(min_v_mem * s_feat)),
+            minv_out=int(_round_int(min_v_mem * s_out)),
+            scale_feat=s_feat,
+            scale_out=s_out,
+        )
+
+    return _id_memo(
+        _DISCRETIZE_CACHE,
+        (params.w_feat, params.w_out),
+        (tuple(spike_thresholds), float(min_v_mem)),
+        build,
     )
-    hit = _DISCRETIZE_CACHE.get(key)
-    if hit is not None and hit[0] is params.w_feat and hit[1] is params.w_out:
-        return hit[2]
-    w_feat = np.asarray(params.w_feat)
-    w_out = np.asarray(params.w_out)
-    s_feat = _layer_scale(w_feat, spike_thresholds.feat, min_v_mem)
-    s_out = _layer_scale(w_out, spike_thresholds.out, min_v_mem)
-    qp = QuantizedParams(
-        w_feat=jnp.asarray(_round_int(w_feat * s_feat), jnp.int32),
-        w_out=jnp.asarray(_round_int(w_out * s_out), jnp.int32),
-        thr_feat=int(_round_int(spike_thresholds.feat * s_feat)),
-        thr_out=int(_round_int(spike_thresholds.out * s_out)),
-        minv_feat=int(_round_int(min_v_mem * s_feat)),
-        minv_out=int(_round_int(min_v_mem * s_out)),
-        scale_feat=s_feat,
-        scale_out=s_out,
-    )
-    if len(_DISCRETIZE_CACHE) >= 16:
-        _DISCRETIZE_CACHE.pop(next(iter(_DISCRETIZE_CACHE)))
-    _DISCRETIZE_CACHE[key] = (params.w_feat, params.w_out, qp)
-    return qp
 
 
 def forward_counts_quantized_bucketed(
@@ -192,7 +226,16 @@ def forward_counts_quantized_bucketed(
         u_thresh.shape[0],
         q_bucket,
     ) <= _PALLAS_VMEM_BUDGET_BYTES
-    if pallas_available() and fits:
+    t_steps = u_thresh.shape[0]
+    # Route by EXACTNESS first, speed second: each route's integer-exactness
+    # envelope is checked against this model's static worst case, and a
+    # model no exact route can serve raises instead of silently misrounding
+    # (the mode exists to be bit-accurate).
+    if (
+        pallas_available()
+        and fits
+        and quantized_pallas_exact_ok(qparams, t_steps)
+    ):
         return forward_counts_quantized_pallas(
             qparams, intensities, u_thresh, tile_q=q_bucket
         )[:q]
@@ -201,6 +244,13 @@ def forward_counts_quantized_bucketed(
         # hoisted int8 route runs those GEMMs in the MXU's int8 mode
         # (2x the bf16 peak) and is bit-identical to the int32 scan.
         return forward_counts_quantized_int8(qparams, intensities, u_thresh)[:q]
+    if not quantized_scan_exact_ok(qparams):
+        raise ValueError(
+            "quantized model exceeds every exact simulation envelope "
+            "(layer drives past f32's 2^24 integer range and per-step "
+            "feature spikes past int8); counts would silently misround — "
+            "rescale the model or raise its spike thresholds"
+        )
     return forward_counts_quantized(qparams, intensities, u_thresh)[:q]
 
 
@@ -268,24 +318,21 @@ _PALLAS_PARAMS_CACHE: dict = {}
 
 
 def _pallas_params(qparams: QuantizedParams) -> LensParams:
-    """f32 views of the integer weights, cached per weight buffer: the
-    per-call astype dispatches were measurable through the relay (each
-    dispatch is a tunnel roundtrip in the worst case).  The cache holds a
-    strong reference to the source array so its id cannot be reused."""
-    key = id(qparams.w_feat)
-    hit = _PALLAS_PARAMS_CACHE.get(key)
-    if hit is not None and hit[0] is qparams.w_feat:
-        return hit[1]
-    params_f = LensParams(
-        w_feat=qparams.w_feat.astype(jnp.float32),
-        w_out=qparams.w_out.astype(jnp.float32),
-        thr_feat=jnp.zeros((qparams.w_feat.shape[1],), jnp.float32),
-        thr_out=jnp.zeros((qparams.w_out.shape[1],), jnp.float32),
+    """f32 views of the integer weights, cached per weight-buffer pair (see
+    _id_memo): the per-call astype dispatches were measurable through the
+    relay (each dispatch is a tunnel roundtrip in the worst case)."""
+
+    def build():
+        return LensParams(
+            w_feat=qparams.w_feat.astype(jnp.float32),
+            w_out=qparams.w_out.astype(jnp.float32),
+            thr_feat=jnp.zeros((qparams.w_feat.shape[1],), jnp.float32),
+            thr_out=jnp.zeros((qparams.w_out.shape[1],), jnp.float32),
+        )
+
+    return _id_memo(
+        _PALLAS_PARAMS_CACHE, (qparams.w_feat, qparams.w_out), (), build
     )
-    if len(_PALLAS_PARAMS_CACHE) >= 16:
-        _PALLAS_PARAMS_CACHE.pop(next(iter(_PALLAS_PARAMS_CACHE)))
-    _PALLAS_PARAMS_CACHE[key] = (qparams.w_feat, params_f)
-    return params_f
 
 
 _INT8_VIEW_CACHE: dict = {}
@@ -302,26 +349,28 @@ def _int8_views(qparams: QuantizedParams):
     s2 <= (thr - 1 + drive_max) // thr.  The int8 cast of s2 is exact iff
     this bound is <= 127.
     """
-    key = id(qparams.w_feat)
-    hit = _INT8_VIEW_CACHE.get(key)
-    if hit is not None and hit[0] is qparams.w_feat:
-        return hit[1]
-    w_feat = np.asarray(qparams.w_feat)
-    w_out = np.asarray(qparams.w_out)
-    assert w_feat.min() >= -128 and w_feat.max() <= 127, "not 8-bit discretized"
-    assert w_out.min() >= -128 and w_out.max() <= 127, "not 8-bit discretized"
-    drive_max = int(np.clip(w_feat, 0, None).sum(axis=0).max()) if w_feat.size else 0
-    thr = max(int(qparams.thr_feat), 1)
-    bound = (thr - 1 + drive_max) // thr
-    views = (
-        jnp.asarray(w_feat.astype(np.int8)),
-        jnp.asarray(w_out.astype(np.int8)),
-        bound,
+    def build():
+        w_feat = np.asarray(qparams.w_feat)
+        w_out = np.asarray(qparams.w_out)
+        assert w_feat.min() >= -128 and w_feat.max() <= 127, "not 8-bit discretized"
+        assert w_out.min() >= -128 and w_out.max() <= 127, "not 8-bit discretized"
+        drive_max = (
+            int(np.clip(w_feat, 0, None).sum(axis=0).max()) if w_feat.size else 0
+        )
+        thr = max(int(qparams.thr_feat), 1)
+        bound = (thr - 1 + drive_max) // thr
+        return (
+            jnp.asarray(w_feat.astype(np.int8)),
+            jnp.asarray(w_out.astype(np.int8)),
+            bound,
+        )
+
+    return _id_memo(
+        _INT8_VIEW_CACHE,
+        (qparams.w_feat, qparams.w_out),
+        (int(qparams.thr_feat),),
+        build,
     )
-    if len(_INT8_VIEW_CACHE) >= 16:
-        _INT8_VIEW_CACHE.pop(next(iter(_INT8_VIEW_CACHE)))
-    _INT8_VIEW_CACHE[key] = (qparams.w_feat, views)
-    return views
 
 
 def quantized_int8_ok(qparams: QuantizedParams) -> bool:
@@ -330,6 +379,46 @@ def quantized_int8_ok(qparams: QuantizedParams) -> bool:
     per-step feature spike bound fits int8 (pathological only when a layer's
     positive drive exceeds 127 spikes per step)."""
     return _int8_views(qparams)[2] <= 127
+
+
+_ENVELOPE_CACHE: dict = {}
+
+
+def _envelope_bounds(qparams: QuantizedParams):
+    """(|drive1|, |drive2|, per-step output spikes) worst-case magnitudes on
+    binary rasters — the quantities the f32-arithmetic quantized routes must
+    represent exactly (< 2^24, f32's integer envelope)."""
+
+    def build():
+        w1 = np.abs(np.asarray(qparams.w_feat, np.int64))
+        w2 = np.abs(np.asarray(qparams.w_out, np.int64))
+        a1 = int(w1.sum(axis=0).max(initial=0))  # |layer-1 drive|
+        s2b = _int8_views(qparams)[2]  # per-step feature spike bound
+        a2 = s2b * int(w2.sum(axis=0).max(initial=0))  # |layer-2 drive|
+        thr2 = max(int(qparams.thr_out), 1)
+        s3b = (thr2 - 1 + a2) // thr2  # per-step output spikes
+        return (a1, a2, s3b)
+
+    return _id_memo(
+        _ENVELOPE_CACHE,
+        (qparams.w_feat, qparams.w_out),
+        (int(qparams.thr_feat), int(qparams.thr_out)),
+        build,
+    )
+
+
+def quantized_scan_exact_ok(qparams: QuantizedParams) -> bool:
+    """The int32 scan computes its GEMMs in f32 (exact below 2^24) but keeps
+    membranes/counts in int32 — only the layer drives need the envelope."""
+    a1, a2, _ = _envelope_bounds(qparams)
+    return max(a1, a2) < 2**24
+
+
+def quantized_pallas_exact_ok(qparams: QuantizedParams, t_steps: int) -> bool:
+    """The fused kernel holds EVERYTHING in f32, including the T-step output
+    spike accumulator, so the count bound joins the envelope."""
+    a1, a2, s3b = _envelope_bounds(qparams)
+    return max(a1, a2, s3b * int(t_steps)) < 2**24
 
 
 def forward_counts_quantized_int8(

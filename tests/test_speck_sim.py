@@ -322,3 +322,69 @@ def test_discretize_memoized_per_buffer(small_params):
     # Different thresholds are a different cache entry, not a collision.
     c = discretize(small_params, SpikeThresholds(1.0, 10.0, 2.0))
     assert c is not a and int(c.thr_feat) != int(a.thr_feat)
+
+
+def test_discretize_zero_threshold_guard():
+    """Weights so large the spike threshold rounds to 0 must be refused —
+    the integer IAF would floor-divide by zero and simulate garbage."""
+    p = params_from_numpy(
+        np.full((4, 8), 300.0, np.float32),
+        np.full((8, 3), 0.1, np.float32),
+        np.zeros(8, np.float32),
+        np.zeros(3, np.float32),
+    )
+    with pytest.raises(ValueError, match="rounds\\s+to 0|rounds to 0"):
+        discretize(p)
+
+
+def test_f32_envelope_guard_refuses_inexact_models():
+    """A model whose layer drives exceed f32's 2^24 integer envelope AND
+    whose spike bound exceeds int8 has no exact route — the dispatcher must
+    raise, never silently misround (the reviewer reproduced 234-spike
+    errors on such a model through the old scan route)."""
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.speck_sim import (
+        QuantizedParams,
+        forward_counts_quantized_bucketed,
+        quantized_scan_exact_ok,
+    )
+
+    n_feat = 2048
+    qp = QuantizedParams(
+        w_feat=jnp.full((200, n_feat), 127, jnp.int32),
+        w_out=jnp.full((n_feat, 3), 127, jnp.int32),
+        thr_feat=3,
+        thr_out=1,
+        minv_feat=-1,
+        minv_out=-1,
+        scale_feat=1.0,
+        scale_out=1.0,
+    )
+    assert not quantized_scan_exact_ok(qp)
+    with pytest.raises(ValueError, match="envelope"):
+        forward_counts_quantized_bucketed(
+            qp, np.ones((2, 200), np.float32), np.full((5, 200), 0.5, np.float32)
+        )
+
+
+def test_int8_view_cache_keys_on_full_dependencies():
+    """_int8_views/_envelope caches must not serve stale data for a
+    QuantizedParams sharing w_feat but differing in w_out or thresholds
+    (the _replace pattern mesh.py uses)."""
+    from lens_tpu.runtime.speck_sim import QuantizedParams, _int8_views
+    import jax.numpy as jnp
+
+    w_feat = jnp.ones((16, 8), jnp.int32) * 4
+    qp1 = QuantizedParams(
+        w_feat=w_feat, w_out=jnp.ones((8, 4), jnp.int32),
+        thr_feat=1, thr_out=1, minv_feat=-1, minv_out=-1,
+        scale_feat=1.0, scale_out=1.0,
+    )
+    b1 = _int8_views(qp1)[2]
+    qp2 = qp1._replace(thr_feat=64)  # same buffers, different threshold
+    b2 = _int8_views(qp2)[2]
+    assert b1 == (1 - 1 + 64) // 1 and b2 == (64 - 1 + 64) // 64
+    qp3 = qp1._replace(w_out=jnp.full((8, 4), 9, jnp.int32))
+    assert int(np.asarray(_int8_views(qp3)[0]).max()) == 4
+    assert int(np.asarray(_int8_views(qp3)[1]).max()) == 9  # not qp1's w_out
