@@ -47,15 +47,21 @@ def run_collector(cfg: LensConfig) -> str:
         from lens_tpu.runtime.stream import live_aer_bin_source
 
         n_frames = 0
-        for _, frame in live_aer_bin_source(cfg, sys.stdin):
+        for _, frame in live_aer_bin_source(cfg, sys.stdin, frames_only=True):
             _save_frame(img_folder, n_frames, frame)
             n_frames += 1
     else:
-        if cfg.event_file.endswith(".npy"):
-            arr = np.load(cfg.event_file)
-            t, x, y = arr[:, 0], arr[:, 1].astype(np.uint16), arr[:, 2].astype(np.uint16)
-        else:
-            t, x, y, _, _ = events_native.parse_text_events(cfg.event_file)
+        # One loader with the streaming path (stream.load_raw_events), then
+        # the same time-sort --event_driven applies: the accumulation
+        # engines assume ascending time (the C++ frame pointer only
+        # advances; the fallback drops everything before row 0), so an
+        # unsorted recording would silently misbin or drop events here
+        # while replaying fine through the streaming mode.
+        from lens_tpu.runtime.stream import load_raw_events
+
+        t, x, y = load_raw_events(cfg.event_file)
+        order = np.argsort(t, kind="stable")
+        t, x, y = t[order], x[order].astype(np.uint16), y[order].astype(np.uint16)
 
         frames = events_native.accumulate_frames(
             t,

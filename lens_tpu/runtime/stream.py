@@ -318,16 +318,26 @@ def load_raw_events(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.asarray(t, np.float64), np.asarray(x, np.int64), np.asarray(y, np.int64)
 
 
-def live_aer_bin_source(cfg: LensConfig, line_source):
+def live_aer_bin_source(cfg: LensConfig, line_source, frames_only: bool = False):
     """Yield (raster, roi_frame) bins from a LIVE text event feed (e.g. stdin
     via `--event_file -`): lines of "t x y [pol]" are fed incrementally into
     the native ingest session (events_native.StreamSession — the samna
     source->collection->readout graph as a first-party runtime), and each
     timebin is yielded the moment it completes.  True online operation: the
-    producer and the network never wait for end-of-stream."""
-    lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
+    producer and the network never wait for end-of-stream.
+
+    `frames_only` (live --collect_data, which discards the raster element):
+    a single substep and an all-(-1) LUT make both engines skip the raster
+    scatter + cumulative hot-cap work entirely — the frames are unchanged.
+    """
+    if frames_only:
+        lut = np.full((cfg.roi_dim, cfg.roi_dim), -1, np.int32)
+        substeps = 1
+    else:
+        lut = center_pixel_lut(cfg.roi_dim, cfg.dims)
+        substeps = substeps_for(cfg.timebin)
     sess = events_native.StreamSession(
-        cfg.timebin / 1000.0, lut, substeps=substeps_for(cfg.timebin),
+        cfg.timebin / 1000.0, lut, substeps=substeps,
         roi_origin=cfg.roi_origin, hot_cap=cfg.hot_cap(),
         n_in=cfg.dims * cfg.dims,
     )
@@ -349,21 +359,27 @@ def live_aer_bin_source(cfg: LensConfig, line_source):
 
         for line in line_source:
             parts = line.split()
-            if len(parts) < 3:  # skips the optional "width height" header too
-                continue
-            try:
-                tv = float(parts[0])
-                xv = int(float(parts[1]))
-                yv = int(float(parts[2]))
-            except ValueError:
-                continue
-            buf_t.append(tv)
-            buf_x.append(xv)
-            buf_y.append(yv)
-            # Feed on size OR a time deadline: a sparse live stream must not
-            # sit on completed bins until 4096 events accumulate — the
-            # contract is "yielded the moment the bin completes".
-            if len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05:
+            ok = len(parts) >= 3  # excludes the optional "width height" header
+            if ok:
+                try:
+                    tv = float(parts[0])
+                    xv = int(float(parts[1]))
+                    yv = int(float(parts[2]))
+                except ValueError:
+                    ok = False
+            if ok:
+                buf_t.append(tv)
+                buf_x.append(xv)
+                buf_y.append(yv)
+            # Feed on size OR a time deadline, checked for EVERY line —
+            # including unparseable ones (heartbeats, comments): a sparse
+            # live stream must not sit on completed bins until 4096 events
+            # accumulate, and a run of non-event lines must not stall
+            # already-buffered events either — the contract is "yielded the
+            # moment the bin completes".
+            if buf_t and (
+                len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05
+            ):
                 _feed_buf()
                 last_feed = time.monotonic()
                 while (out := sess.poll()) is not None:
@@ -469,6 +485,7 @@ class OnlineMatcher:
     """
 
     MATRIX_KEEP_COLS = 4096  # in-memory tail; the .npy artifact is unbounded
+    MATCHES_KEEP = 65536  # match-log tail; flat RSS on weeks-long streams
 
     def __init__(self, n_places: int, sequence_length: int, output_folder: str, logger):
         self.n_places = n_places
@@ -479,7 +496,8 @@ class OnlineMatcher:
         self._bins = 0
         self._rows: list = []
         self.matrix: Optional[np.ndarray] = None
-        self.matches: list = []
+        self.matches: list = []  # bounded tail (MATCHES_KEEP); see n_matches_total
+        self.n_matches_total = 0  # monotone count, survives tail trimming
         # similarity_matrix.npy stores matrix.T: one (n_places,) row per
         # sequence column, appended block by block.
         from lens_tpu.runtime.artifacts import NpyAppender
@@ -510,6 +528,9 @@ class OnlineMatcher:
             )
         self.logger.info("")
         self.matches.extend(int(a) for a in argmax_cols)
+        self.n_matches_total += len(argmax_cols)
+        if len(self.matches) > self.MATCHES_KEEP:
+            del self.matches[: len(self.matches) - self.MATCHES_KEEP]
         self.matrix = (
             result
             if self.matrix is None
@@ -542,6 +563,52 @@ def run_event_driven(cfg: LensConfig):
     bound_a, bound_b = stream_dot_bound_coeffs(qparams)
 
     rows, cols = center_pixel_indices(cfg.roi_dim, cfg.dims)
+    steps = substeps_for(cfg.timebin)
+
+    # Build the bin source BEFORE allocating teardown-requiring resources
+    # (dashboard server thread, artifact appenders): a bad source config —
+    # e.g. a missing query folder on the frame-replay path — must fail
+    # before anything needs the finally-block cleanup, or a long-lived
+    # in-process caller leaks a listening server + open fds per failed run.
+    if cfg.event_file == "-":
+        # LIVE ingest: text AER lines arriving on stdin feed the native ring
+        # session; bins are processed the moment they complete.
+        import sys
+
+        bins_iter = live_aer_bin_source(cfg, sys.stdin)
+        logger.info("Streaming LIVE from stdin (event-time integration)")
+    elif cfg.event_file:
+        # Event-TIME integration: each event lands in the substep its
+        # timestamp falls in (chip semantics, run_speck.py:281-299).
+        bins_iter = aer_bin_source(cfg, steps)
+        logger.info(
+            f"Streaming from event stream {cfg.event_file} "
+            "(event-time integration)"
+        )
+    else:
+        frames, source_desc = frame_source(cfg)
+        logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
+        # The on-chip thresholds (10/2) are tuned for raw DVS stream densities
+        # (~1e5 events/s on the reference hardware, run_speck.py logs); bundled
+        # PNG replays carry ~100x fewer events per bin, so sparse output spikes
+        # there are expected, not a fault.  Feed --event_file with a recorded
+        # stream for representative online behavior.
+        mean_events = float(frames.sum(dtype=np.float64) / max(len(frames), 1))
+        if mean_events < 5_000:
+            logger.info(
+                f"note: replay density is low ({mean_events:,.0f} events/bin); "
+                "on-chip thresholds may yield sparse output spikes"
+            )
+
+        def _frame_bins():
+            # No timestamps in a frame replay: spread each pixel's count
+            # evenly over the bin's substeps (deterministic, total-preserving).
+            for frame in frames:
+                down = frame[rows][:, cols].astype(np.int64).reshape(-1)
+                yield even_spread_raster(down, steps), frame.astype(np.uint32)
+
+        bins_iter = _frame_bins()
+
     matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
     power = PowerMonitor()
 
@@ -566,46 +633,6 @@ def run_event_driven(cfg: LensConfig):
         (int(np.asarray(qparams.w_out).shape[1]),),
         np.int32,
     )
-    steps = substeps_for(cfg.timebin)
-
-    if cfg.event_file == "-":
-        # LIVE ingest: text AER lines arriving on stdin feed the native ring
-        # session; bins are processed the moment they complete.
-        import sys
-
-        bins_iter = live_aer_bin_source(cfg, sys.stdin)
-        logger.info("Streaming LIVE from stdin (event-time integration)")
-    elif cfg.event_file:
-        # Event-TIME integration: each event lands in the substep its
-        # timestamp falls in (chip semantics, run_speck.py:281-299).
-        bins_iter = aer_bin_source(cfg, steps)
-        logger.info(
-            f"Streaming from event stream {cfg.event_file} "
-            "(event-time integration)"
-        )
-    else:
-        frames, source_desc = frame_source(cfg)
-        logger.info(f"Streaming from {source_desc}: {len(frames)} timebins")
-        # The on-chip thresholds (10/2) are tuned for raw DVS stream densities
-        # (~1e5 events/s on the reference hardware, run_speck.py logs); bundled
-        # PNG replays carry ~100x fewer events per bin, so sparse output spikes
-        # there are expected, not a fault.  Feed --event_file with a recorded
-        # stream for representative online behavior.
-        mean_events = float(np.asarray(frames, np.float64).sum() / max(len(frames), 1))
-        if mean_events < 5_000:
-            logger.info(
-                f"note: replay density is low ({mean_events:,.0f} events/bin); "
-                "on-chip thresholds may yield sparse output spikes"
-            )
-
-        def _frame_bins():
-            # No timestamps in a frame replay: spread each pixel's count
-            # evenly over the bin's substeps (deterministic, total-preserving).
-            for frame in frames:
-                down = frame[rows][:, cols].astype(np.int64).reshape(-1)
-                yield even_spread_raster(down, steps), frame.astype(np.uint32)
-
-        bins_iter = _frame_bins()
 
     fan_out_feat = int(np.count_nonzero(np.asarray(qparams.w_feat)) / max(cfg.input, 1))
     fan_out_out = int(np.count_nonzero(np.asarray(qparams.w_out)) / max(cfg.feature, 1))
@@ -642,7 +669,7 @@ def run_event_driven(cfg: LensConfig):
             ev_dir = os.path.join(output_folder, "events")
             os.makedirs(ev_dir, exist_ok=True)
             np.save(os.path.join(ev_dir, f"bin_{i:05d}_events.npy"), frame)
-        n_matches_before = len(matcher.matches)
+        n_matches_before = matcher.n_matches_total
         matcher.push(counts)
         if dashboard is not None:
             # Same stream-clock rates record_bin used, so the live rails and
@@ -655,8 +682,9 @@ def run_event_driven(cfg: LensConfig):
                     n_events / timebin_s, n_synops / timebin_s
                 ),
             )
-            if len(matcher.matches) > n_matches_before:
-                dashboard.add_matches(matcher.matches[n_matches_before:])
+            new = matcher.n_matches_total - n_matches_before
+            if new > 0:  # fresh entries sit at the (possibly trimmed) tail
+                dashboard.add_matches(matcher.matches[-new:])
 
     def _drain(entry) -> None:
         """Fetch one dispatched chunk's results (1..K bins) and process each

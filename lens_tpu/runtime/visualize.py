@@ -136,10 +136,22 @@ class LiveDashboard:
 
     # -- consumers (HTTP) ---------------------------------------------------
     def state(self) -> dict:
+        # Snapshot under the lock; encode OUTSIDE it — PNG compression takes
+        # milliseconds and would block the streaming loop's update_bin on
+        # every first /state poll of a bin.
         with self._lock:
-            if self._frame is not None and self._png_bin != self._bin:
-                self._frame_png = self._encode_frame(self._frame)
-                self._png_bin = self._bin
+            frame = self._frame
+            frame_bin = self._bin
+            encode = frame is not None and self._png_bin != frame_bin
+        if encode:
+            png = self._encode_frame(frame)
+            with self._lock:
+                # A newer bin may have landed meanwhile; only publish if ours
+                # is still the freshest encodable state.
+                if self._png_bin != self._bin and frame_bin == self._bin:
+                    self._frame_png = png
+                    self._png_bin = frame_bin
+        with self._lock:
             return {
                 "bin": self._bin,
                 "bin_spikes": self._bin_spikes,
