@@ -239,3 +239,30 @@ def test_live_stdin_mode_end_to_end(tiny_dataset_cfg):
     for (raster, frame), (rf, rr) in zip(live, ref):
         np.testing.assert_array_equal(frame, rf)
         np.testing.assert_array_equal(raster, rr)
+
+
+def test_live_frames_only_mode_same_frames():
+    """Collection's frames_only live source must yield the same frames as
+    the full session (it only skips the raster work the collector discards)."""
+    from dataclasses import replace
+
+    import io
+
+    from lens_tpu.config import LensConfig
+    from lens_tpu.runtime.stream import live_aer_bin_source
+
+    cfg = LensConfig(dims=10, roi_dim=80, timebin=100)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(400):
+        t = i * 0.002
+        x = int(rng.integers(cfg.roi_x, cfg.roi_x + 80))
+        y = int(rng.integers(cfg.roi_y, cfg.roi_y + 80))
+        lines.append(f"{t} {x} {y} 1\n")
+    text = "".join(lines)
+    full = list(live_aer_bin_source(cfg, io.StringIO(text)))
+    fonly = list(live_aer_bin_source(cfg, io.StringIO(text), frames_only=True))
+    assert len(full) == len(fonly) > 0
+    for (_, f1), (r2, f2) in zip(full, fonly):
+        np.testing.assert_array_equal(f1, f2)
+        assert r2.shape[0] == 1  # single substep: raster work skipped
