@@ -66,31 +66,18 @@ def forward_counts_stepwise(
 ) -> jnp.ndarray:
     """Reference-shaped forward: one scan step per timestep, both GEMMs
     inside the scan.  Kept as the general path (arbitrary input-IAF
-    threshold) and as the oracle the fast path is tested against."""
+    threshold) and as the oracle the fast path is tested against.
+
+    Exactly one full-stream chunk of forward_counts_resumable — delegated so
+    the IAF pipeline exists in ONE place and the chunked streaming path can
+    never diverge from this oracle."""
     q, n_in = intensities.shape
-    n_feat = params.w_feat.shape[1]
-    n_out = params.w_out.shape[1]
-    w_feat = params.w_feat.astype(dtype)
-    w_out = params.w_out.astype(dtype)
-    intens = intensities.astype(dtype)
-
-    def step(carry, u_t):
-        v1, v2, v3, counts = carry
-        x = (u_t[None, :] < intens).astype(dtype)  # raster (dataset.py:118-121)
-        v1, s1 = iaf_step(v1, x, spike_thresholds.inp, min_v_mem)
-        h = jnp.dot(s1, w_feat, preferred_element_type=dtype)
-        v2, s2 = iaf_step(v2, h, spike_thresholds.feat, min_v_mem)
-        h2 = jnp.dot(s2, w_out, preferred_element_type=dtype)
-        v3, s3 = iaf_step(v3, h2, spike_thresholds.out, min_v_mem)
-        return (v1, v2, v3, counts + s3), None
-
-    init = (
-        jnp.zeros((q, n_in), dtype),
-        jnp.zeros((q, n_feat), dtype),
-        jnp.zeros((q, n_out), dtype),
-        jnp.zeros((q, n_out), dtype),
+    carry = init_forward_carry(
+        q, n_in, params.w_feat.shape[1], params.w_out.shape[1], dtype
     )
-    (_, _, _, counts), _ = jax.lax.scan(step, init, u_thresh.astype(dtype))
+    counts, _ = forward_counts_resumable(
+        params, intensities, u_thresh, carry, spike_thresholds, min_v_mem, dtype
+    )
     return counts
 
 
@@ -253,6 +240,22 @@ def forward_counts_from_frames(
     return forward_counts(
         params, intensities, u_thresh, spike_thresholds, min_v_mem, dtype
     )
+
+
+def bf16_matmul_exact_ok(
+    params: LensParams, thr_feat: float = 1.0
+) -> bool:
+    """Static check for the bf16 operand route's own exactness premise:
+    per-step feature spike counts must stay <= 256 (bf16's exact-integer
+    range) for the s2 cast to be lossless.  On binary rasters the drive is
+    at most the largest positive-weight column sum; after membrane subtract
+    the residual is < thr.  The analogue of the quantized route's
+    quantized_int8_ok — callers fall back to f32 when it fails rather than
+    silently rounding spike counts."""
+    w = np.asarray(params.w_feat, np.float64)
+    drive = float(np.clip(w, 0, None).sum(axis=0).max(initial=0.0))
+    s2_bound = 1 + int(drive / max(float(thr_feat), 1e-9))
+    return s2_bound <= 256
 
 
 def init_inference_params(

@@ -122,6 +122,12 @@ class FrameDataset:
         rows = _read_annotations(annotations_file)[::skip]
         if max_samples is not None:
             rows = rows[:max_samples]
+        if not rows:
+            raise ValueError(
+                f"no frames selected from {annotations_file} "
+                f"(skip={skip}, max_samples={max_samples}); the CSV may be "
+                "header-only or the filter larger than the traverse"
+            )
         frames, labels, gps, paths = [], [], [], []
         for name, label, g in rows:
             path = os.path.join(img_dir, name)

@@ -248,9 +248,23 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     fused kernel is VMEM-bandwidth bound, not MXU bound, so bf16 operands
     target the GEMM-bound scan-route models — with the same query-bucket
     padding discipline (backend-aware on CPU, where padded rows run for
-    real and compiles are cheap).
+    real and compiles are cheap).  When the model violates bf16's own
+    exactness premise (per-step feature spikes past bf16's exact-integer
+    range — network.bf16_matmul_exact_ok), the route falls back to f32 with
+    a warning rather than silently rounding spike counts.
     """
-    from lens_tpu.core.network import forward_counts
+    import logging
+
+    from lens_tpu.core.network import bf16_matmul_exact_ok, forward_counts
+
+    if matmul_dtype is not None and not bf16_matmul_exact_ok(
+        params, spike_thresholds.feat
+    ):
+        logging.getLogger("LENS").warning(
+            "bf16 route disabled for this model: per-step feature spike "
+            "counts can exceed bf16's exact-integer range; using f32"
+        )
+        matmul_dtype = None
 
     q = intensities.shape[0]
     fits = kernel_vmem_bytes(
@@ -279,11 +293,9 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
             matmul_dtype=matmul_dtype,
         )
         return out[:q]
-    q_p = _round_up(q, q_bucket)
-    if q_p != q:
-        intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
-            intensities
-        )
+    # No pre-pad here: forward_counts_pallas buckets the query axis to the
+    # same tile_q itself (a second zeros+scatter would be pure overhead on
+    # the hot path).
     out = forward_counts_pallas(
         params, intensities, u_thresh, spike_thresholds, min_v_mem, tile_q=q_bucket
     )

@@ -23,18 +23,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_MESH_CACHE: dict = {}
+
+
 def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None) -> Mesh:
     """A ('data', 'model') mesh over the first n_devices devices.
 
     By default all devices go to the data axis (query DP) — the right layout
     for the ≥10k frames/s north star; pass `data` to split off model axis
-    shards for a large place database.
+    shards for a large place database.  `data` must divide the device count
+    (checked with a clear error, not a numpy reshape traceback).
+
+    Memoized per (n, data): callers invoke this per dispatch (run_model's
+    p50 sampling), and a stable Mesh identity lets downstream placement
+    caches key on it.
     """
-    devs = jax.devices()[: (n_devices or len(jax.devices()))]
-    n = len(devs)
+    n = len(jax.devices()[: (n_devices or len(jax.devices()))])
     data = data or n
-    model = n // data
-    return Mesh(np.array(devs).reshape(data, model), ("data", "model"))
+    key = (n, data)
+    hit = _MESH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if data < 1 or n % data != 0:
+        raise ValueError(
+            f"mesh 'data' axis {data} does not divide the {n} devices; "
+            f"pick a divisor of {n}"
+        )
+    devs = jax.devices()[:n]
+    mesh = Mesh(np.array(devs).reshape(data, n // data), ("data", "model"))
+    _MESH_CACHE[key] = mesh
+    return mesh
+
+
+_SHARDED_INT8_CACHE: dict = {}
 
 
 def shard_queries(mesh: Mesh, arr: jax.Array) -> jax.Array:
@@ -55,7 +76,8 @@ def shard_output_axis(mesh: Mesh, arr: jax.Array, axis: int) -> jax.Array:
 
 
 def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
-                         mesh: Optional[Mesh] = None, matmul_dtype=None):
+                         mesh: Optional[Mesh] = None, matmul_dtype=None,
+                         spike_thresholds=None):
     """Multi-chip data-parallel inference: queries sharded over 'data',
     params/threshold tensor replicated, one jitted program — XLA partitions
     the scan across the mesh and gathers the (Q, R) counts.
@@ -66,7 +88,7 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
     """
     import jax.numpy as jnp
 
-    from lens_tpu.core.network import forward_counts
+    from lens_tpu.core.network import SpikeThresholds, forward_counts
 
     mesh = mesh or make_mesh()
     n_data = mesh.shape["data"]
@@ -77,6 +99,7 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
             replicate(mesh, params),
             shard_queries(mesh, jnp.asarray(intens)),
             replicate(mesh, jnp.asarray(u_thresh)),
+            spike_thresholds=spike_thresholds or SpikeThresholds(),
             min_v_mem=min_v_mem,
             matmul_dtype=matmul_dtype,
         )
@@ -91,6 +114,7 @@ def tp_sharded_spike_counts(
     mesh: Optional[Mesh] = None,
     model_shards: Optional[int] = None,
     matmul_dtype=None,
+    spike_thresholds=None,
 ):
     """Tensor-parallel inference over the PLACE (database) axis: w_out's
     columns and the output-layer membranes shard across 'model', so a
@@ -134,9 +158,18 @@ def tp_sharded_spike_counts(
         intensities,
         u_thresh,
         lambda p, i, u: forward_counts(
-            p, i, u, min_v_mem=min_v_mem, matmul_dtype=matmul_dtype
+            p, i, u,
+            spike_thresholds=spike_thresholds or _default_thresholds(),
+            min_v_mem=min_v_mem,
+            matmul_dtype=matmul_dtype,
         ),
     )
+
+
+def _default_thresholds():
+    from lens_tpu.core.network import SpikeThresholds
+
+    return SpikeThresholds()
 
 
 def sharded_quantized_counts(
@@ -158,7 +191,11 @@ def sharded_quantized_counts(
     uses it: int8 x int8 -> int32 dots partition identically (q axis on
     'data', place axis on 'model') and are exact by construction.
     """
+    import jax.numpy as jnp
+
     from lens_tpu.runtime.speck_sim import (
+        _id_memo,
+        _int8_views,
         _quantized_hoisted_int8_jit,
         forward_counts_quantized,
         quantized_int8_ok,
@@ -171,27 +208,42 @@ def sharded_quantized_counts(
         mesh = make_mesh(data=1) if shard_places else make_mesh()
 
     if quantized_int8_ok(qparams):
-        w_feat_i8 = np.asarray(qparams.w_feat).astype(np.int8)
-        w_out_i8 = np.asarray(qparams.w_out).astype(np.int8)
+        # Cached int8 views + cached mesh placement: this function runs once
+        # per dispatch (run_model's p50 sampling is ~14 calls), and
+        # re-padding + re-uploading the whole database per call would make
+        # the measured p50 a weight-transfer benchmark (make_mesh memoizes,
+        # so the mesh anchor is stable across calls).
+        w_feat_i8, w_out_i8, _ = _int8_views(qparams)
+        r = w_out_i8.shape[1]
 
-        def shard_params(w_out_sharded, jnp):
-            return (replicate(mesh, jnp.asarray(w_feat_i8)), w_out_sharded)
+        def place():
+            w_out_p = pad_to_multiple(
+                np.asarray(w_out_i8), 1, mesh.shape["model"]
+            )
+            return (
+                replicate(mesh, w_feat_i8),
+                shard_output_axis(mesh, jnp.asarray(w_out_p), 1),
+            )
 
-        def forward(p, intens, u):
-            return _quantized_hoisted_int8_jit(
-                p[0],
-                p[1],
-                intens,
-                u,
+        placed = _id_memo(
+            _SHARDED_INT8_CACHE, (w_feat_i8, w_out_i8, mesh), (), place
+        )
+        q = intensities.shape[0]
+        intens = pad_to_multiple(
+            np.asarray(intensities, np.float32), 0, mesh.shape["data"]
+        )
+        with mesh:
+            counts = _quantized_hoisted_int8_jit(
+                placed[0],
+                placed[1],
+                shard_queries(mesh, jnp.asarray(intens)),
+                replicate(mesh, jnp.asarray(u_thresh)),
                 int(qparams.thr_feat),
                 int(qparams.thr_out),
                 int(qparams.minv_feat),
                 int(qparams.minv_out),
             )
-
-        return _place_sharded_counts(
-            mesh, w_out_i8, shard_params, intensities, u_thresh, forward
-        )
+        return np.asarray(counts)[:q, :r]
 
     if not quantized_scan_exact_ok(qparams):
         raise ValueError(

@@ -122,3 +122,23 @@ def test_bf16_route_exact_on_bf16_representable_weights():
     f32 = np.asarray(forward_counts(p, intens, u))
     bf16 = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
     np.testing.assert_array_equal(bf16, f32)
+
+
+def test_bf16_route_falls_back_when_spike_bound_exceeded():
+    """A model whose per-step feature spikes can exceed bf16's exact-integer
+    range must not run the bf16 cast — best_forward falls back to f32 (the
+    result equals the f32 route exactly)."""
+    from lens_tpu.core.network import bf16_matmul_exact_ok
+    from lens_tpu.ops.fused_forward import best_forward
+
+    rng = np.random.default_rng(5)
+    # 600 inputs of weight ~1 into one column: drive ~600 > 256.
+    w1 = np.abs(rng.normal(1.0, 0.1, (600, 8))).astype(np.float32)
+    w2 = rng.normal(0, 0.2, (8, 4)).astype(np.float32)
+    p = params_from_numpy(w1, w2, np.zeros(8, np.float32), np.zeros(4, np.float32))
+    assert not bf16_matmul_exact_ok(p)
+    intens = rng.random((3, 600)).astype(np.float32)
+    u = rng.random((10, 600)).astype(np.float32)
+    f32 = np.asarray(forward_counts(p, intens, u))
+    routed = np.asarray(best_forward(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(routed, f32)  # fell back to exact f32

@@ -272,3 +272,16 @@ def test_tp_scale_smoke_16k_places(mesh):
     u = rng.random((5, n_in)).astype(np.float32)
     counts = tp_sharded_spike_counts(params, intens, u, mesh=mesh)
     assert counts.shape == (8, n_db)
+
+
+def test_make_mesh_validates_factorization():
+    """A 'data' axis that does not divide the device count must fail with a
+    clear mesh error, not a numpy reshape traceback."""
+    from lens_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh(data=3)  # 8 virtual devices
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh(data=16)
+    m = make_mesh(data=2)
+    assert m is make_mesh(data=2)  # memoized: stable identity for caches
