@@ -13,10 +13,16 @@ bundled example checkpoint.
 
 import argparse
 import json
+import os
+import sys
 import threading
 import urllib.request
 
 import numpy as np
+
+# Runnable as `python examples/fleet_client.py` from a source checkout
+# (sys.path[0] is examples/, not the repo root where lens_tpu lives).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

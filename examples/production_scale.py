@@ -17,9 +17,15 @@ and reports agreement plus throughput.  Runs anywhere; on CPU use --small.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable as `python examples/production_scale.py` from a source checkout
+# (sys.path[0] is examples/, not the repo root where lens_tpu lives).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
