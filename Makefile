@@ -1,6 +1,7 @@
 # LENS-TPU development targets
 
-.PHONY: test bench native example infer train sweep serve stream dryrun clean
+.PHONY: test bench bench-large native example example-fleet example-scale \
+        infer infer-bf16 infer-quant train sweep serve stream dryrun clean
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -11,8 +12,17 @@ test: native
 bench:
 	python bench.py
 
+bench-large:
+	python bench.py --large
+
 infer:
 	python main.py --sim_mat --matching --PR_curve
+
+infer-bf16:
+	python main.py --matching --precision bf16
+
+infer-quant:
+	python main.py --simulated_speck --matching
 
 train:
 	python main.py --train_model
@@ -31,6 +41,12 @@ dryrun:
 
 example:
 	python examples/full_workflow.py
+
+example-fleet:
+	python examples/fleet_client.py
+
+example-scale:
+	python examples/production_scale.py --small
 
 clean:
 	rm -rf .jax_cache lens/output native/liblens_events.so
