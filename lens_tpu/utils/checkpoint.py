@@ -81,17 +81,30 @@ def load_model(models_dir: str, model_name: str) -> LensParams:
     """Resolve a model by its reference-scheme name, preferring the native
     format: `<name>.npz` first, then legacy `<name>` (.pth).  Mirrors
     run_model.py:353-358 load_model (map_location/strict=False become
-    irrelevant in the functional design)."""
+    irrelevant in the functional design).  Loaded weights are checked
+    finite — a NaN/inf checkpoint (e.g. a diverged external training run)
+    would otherwise flow through every route into silently meaningless
+    similarity matrices."""
     stem, _ = os.path.splitext(model_name)
     npz_path = os.path.join(models_dir, stem + ".npz")
     if os.path.exists(npz_path):
-        return load_npz(npz_path)
+        return _check_finite(load_npz(npz_path), npz_path)
     pth_path = os.path.join(models_dir, model_name)
     if os.path.exists(pth_path):
-        return load_pth(pth_path)
+        return _check_finite(load_pth(pth_path), pth_path)
     raise FileNotFoundError(
         f"no checkpoint named {stem}.npz or {model_name} in {models_dir}"
     )
+
+
+def _check_finite(params: LensParams, path: str) -> LensParams:
+    for name, arr in (("w_feat", params.w_feat), ("w_out", params.w_out)):
+        if not np.isfinite(np.asarray(arr)).all():
+            raise ValueError(
+                f"checkpoint {path}: {name} contains NaN/inf — refusing to "
+                "evaluate a diverged model"
+            )
+    return params
 
 
 def save_model(

@@ -68,3 +68,20 @@ def test_orbax_roundtrip(tmp_path, params):
 def test_parse_model_name():
     meta = checkpoint.parse_model_name("sunset2_LENS_IN49_FN63_DB641.pth")
     assert meta == {"input": 49, "feature": 63, "places": 641}
+
+
+def test_load_model_rejects_nonfinite_checkpoint(tmp_path):
+    """A NaN/inf checkpoint (diverged external run) must be refused at load,
+    not silently evaluated into meaningless similarity matrices."""
+    from lens_tpu.core.network import params_from_numpy
+    from lens_tpu.utils.checkpoint import load_model, save_npz
+
+    w1 = np.ones((4, 8), np.float32)
+    w1[0, 0] = np.nan
+    p = params_from_numpy(
+        w1, np.ones((8, 3), np.float32),
+        np.zeros(8, np.float32), np.zeros(3, np.float32),
+    )
+    save_npz(str(tmp_path / "bad_LENS_IN4_FN8_DB3.npz"), p, "{}")
+    with pytest.raises(ValueError, match="NaN"):
+        load_model(str(tmp_path), "bad_LENS_IN4_FN8_DB3.pth")
