@@ -242,6 +242,9 @@ def forward_counts_from_frames(
     )
 
 
+_BF16_OK_CACHE: dict = {}
+
+
 def bf16_matmul_exact_ok(
     params: LensParams, thr_feat: float = 1.0
 ) -> bool:
@@ -251,11 +254,29 @@ def bf16_matmul_exact_ok(
     at most the largest positive-weight column sum; after membrane subtract
     the residual is < thr.  The analogue of the quantized route's
     quantized_int8_ok — callers fall back to f32 when it fails rather than
-    silently rounding spike counts."""
-    w = np.asarray(params.w_feat, np.float64)
-    drive = float(np.clip(w, 0, None).sum(axis=0).max(initial=0.0))
-    s2_bound = 1 + int(drive / max(float(thr_feat), 1e-9))
-    return s2_bound <= 256
+    silently rounding spike counts.
+
+    Memoized per weight buffer (run_model's p50 sampling dispatches ~14
+    times per evaluation; the check fetches w_feat to host) and warns ONCE
+    per buffer when the premise fails."""
+    from lens_tpu.utils.memo import id_memo
+
+    def build() -> bool:
+        w = np.asarray(params.w_feat, np.float64)
+        drive = float(np.clip(w, 0, None).sum(axis=0).max(initial=0.0))
+        ok = 1 + int(drive / max(float(thr_feat), 1e-9)) <= 256
+        if not ok:
+            import logging
+
+            logging.getLogger("LENS").warning(
+                "bf16 route disabled for this model: per-step feature spike "
+                "counts can exceed bf16's exact-integer range; using f32"
+            )
+        return ok
+
+    return id_memo(
+        _BF16_OK_CACHE, (params.w_feat,), (float(thr_feat),), build
+    )
 
 
 def init_inference_params(

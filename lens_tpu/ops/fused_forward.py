@@ -253,18 +253,12 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     range — network.bf16_matmul_exact_ok), the route falls back to f32 with
     a warning rather than silently rounding spike counts.
     """
-    import logging
-
     from lens_tpu.core.network import bf16_matmul_exact_ok, forward_counts
 
     if matmul_dtype is not None and not bf16_matmul_exact_ok(
         params, spike_thresholds.feat
     ):
-        logging.getLogger("LENS").warning(
-            "bf16 route disabled for this model: per-step feature spike "
-            "counts can exceed bf16's exact-integer range; using f32"
-        )
-        matmul_dtype = None
+        matmul_dtype = None  # exactness first (the gate warns once)
 
     q = intensities.shape[0]
     fits = kernel_vmem_bytes(

@@ -99,7 +99,15 @@ def _compute_similarity_once(
     want_tp = cfg.shard_db or cfg.reference_places >= cfg.shard_db_auto_places
     # --precision bf16: MXU-native operand precision on the float path only
     # (accumulation/membranes stay f32 — see core/network.forward_counts).
+    # Gated HERE, before any route: every dispatch path (single-device,
+    # DP, TP) must honor the bf16 exactness premise identically, or
+    # single-chip and multi-chip results would diverge for the same flags.
     mm_dtype = jnp.bfloat16 if cfg.precision == "bf16" else None
+    if mm_dtype is not None and not cfg.simulated_speck:
+        from lens_tpu.core.network import bf16_matmul_exact_ok
+
+        if not bf16_matmul_exact_ok(params):
+            mm_dtype = None  # fall back to f32 (the gate warns once)
 
     if cfg.simulated_speck:
         qp = discretize(params, SpikeThresholds(), cfg.min_v_mem)

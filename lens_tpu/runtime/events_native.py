@@ -432,14 +432,16 @@ class StreamSession:
                 if self._t0 < 0:
                     self._t0 = float(t[i])
                 # t0-poisoning guard, mirroring the C++ engine: before any
-                # bin has been emitted, an event earlier than t0 rebases the
-                # clock (a corrupt far-future FIRST line would otherwise make
-                # every real event "late" forever).
+                # bin has been emitted, an event earlier than t0 by a
+                # CORRUPTION-SCALE margin (the max_gap_bins window — ordinary
+                # start-of-stream jitter must not discard bin 0's events)
+                # rebases the clock (a corrupt far-future FIRST line would
+                # otherwise make every real event "late" forever).
                 if (
-                    t[i] < self._t0
-                    and self._cur_bin == 0
+                    self._cur_bin == 0
                     and self._pending == 0
                     and not self._ready
+                    and self._t0 - t[i] > self.max_gap_bins * self.timebin_s
                 ):
                     self._t0 = float(t[i])
                     self._frame[:] = 0

@@ -101,26 +101,11 @@ def _round_int(x) -> np.ndarray:
     return np.rint(np.asarray(x, np.float64))
 
 
-def _id_memo(cache: dict, anchors: tuple, extra: tuple, build):
-    """Bounded identity-keyed memo shared by this module's caches.
-
-    `anchors` (weight arrays) key by id() and are held strongly so their ids
-    cannot be recycled; `extra` adds the hashable scalars the value also
-    depends on.  Every cache that derives from a QuantizedParams must anchor
-    on BOTH weight buffers and include its scalar dependencies — a value
-    keyed on w_feat alone goes stale for a `_replace`d params sharing that
-    buffer (the pattern parallel/mesh.py uses).
-    """
-    key = tuple(map(id, anchors)) + extra
-    hit = cache.get(key)
-    if hit is not None and all(h is a for h, a in zip(hit[0], anchors)):
-        return hit[1]
-    val = build()
-    if len(cache) >= 16:
-        cache.pop(next(iter(cache)))
-    cache[key] = (anchors, val)
-    return val
-
+# Shared bounded identity-keyed memo (utils/memo.py).  Every cache deriving
+# from a QuantizedParams must anchor on BOTH weight buffers and include its
+# scalar dependencies — a value keyed on w_feat alone goes stale for a
+# `_replace`d params sharing that buffer (the pattern parallel/mesh.py uses).
+from lens_tpu.utils.memo import id_memo as _id_memo  # noqa: E402
 
 _DISCRETIZE_CACHE: dict = {}
 

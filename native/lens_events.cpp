@@ -313,11 +313,13 @@ void lens_stream_feed(void* h, const double* t, const uint16_t* x,
     // t0-poisoning guard: if the FIRST in-ROI line was corrupt far-future,
     // every real event would compute b < 0 and be dropped as "late" for the
     // stream's whole lifetime.  While no bin has been emitted yet, an event
-    // earlier than t0 rebases the clock to it (discarding whatever the
-    // corrupt prefix accumulated) — after the first emitted bin the history
-    // is fixed and rebasing would corrupt it, so the late-event rule holds.
-    if (t[i] < s->t0 && s->cur_bin == 0 && s->pending_bins == 0 &&
-        s->ready.empty()) {
+    // earlier than t0 by a CORRUPTION-SCALE margin (the same max_gap_bins
+    // window the forward guard uses — ordinary start-of-stream millisecond
+    // jitter must NOT discard bin 0's accumulated events) rebases the clock
+    // to it; after the first emitted bin the history is fixed and the
+    // late-event rule holds.
+    if (s->cur_bin == 0 && s->pending_bins == 0 && s->ready.empty() &&
+        s->t0 - t[i] > (double)s->max_gap_bins * s->timebin_s) {
       s->t0 = t[i];
       std::fill(s->frame.begin(), s->frame.end(), 0u);
       std::fill(s->raster.begin(), s->raster.end(), 0);

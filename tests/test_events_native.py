@@ -191,3 +191,29 @@ def test_stream_session_t0_poisoning_rebase():
             assert sums == [1, 0, 1, 1], (use_native, sums)
         finally:
             s.close()
+
+
+def test_stream_session_jitter_does_not_rebase():
+    """Millisecond out-of-order jitter at stream start must NOT trip the
+    t0-rebase guard (which would discard bin 0's accumulated events); the
+    single late event is dropped, exactly as before the guard existed."""
+    lut = np.zeros((80, 80), np.int32)
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        s = ev.StreamSession(
+            0.1, lut, substeps=4, roi_origin=(0, 0), hot_cap=0, n_in=1,
+            use_native=use_native,
+        )
+        try:
+            # 1.00, 1.01 accumulate in bin 0; 0.99 is jitter (late, dropped).
+            s.feed(np.array([1.00, 1.01, 0.99, 1.15]),
+                   np.array([1, 2, 3, 4], np.uint16),
+                   np.array([1, 2, 3, 4], np.uint16))
+            s.flush()
+            sums = []
+            while (out := s.poll()) is not None:
+                sums.append(int(out[0].sum()))
+            # Bin 0 keeps its 2 events; t=1.15 opens bin 1; the jitter
+            # event is dropped as late (NOT rebased into wiping bin 0).
+            assert sums == [2, 1], (use_native, sums)
+        finally:
+            s.close()
