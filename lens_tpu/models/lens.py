@@ -93,9 +93,15 @@ class LensModel:
 
     # ---- compute ---------------------------------------------------------
 
-    def spike_counts(self, intensities: np.ndarray) -> np.ndarray:
+    def spike_counts(
+        self, intensities: np.ndarray, precision: str = "f32"
+    ) -> np.ndarray:
         """(Q, n_in) intensities -> (Q, reference_places) output spike counts
-        via the best available backend (Pallas on TPU)."""
+        via the best available backend (Pallas on TPU).
+
+        `precision="bf16"` routes through MXU-native bf16 operands with f32
+        accumulation (the --precision bf16 CLI behavior, including its
+        exactness gate and f32 fallback)."""
         from lens_tpu.ops.fused_forward import best_forward
 
         return np.asarray(
@@ -105,6 +111,7 @@ class LensModel:
                 jnp.asarray(self.raster_thresholds()),
                 spike_thresholds=self.spike_thresholds,
                 min_v_mem=self.cfg.min_v_mem,
+                matmul_dtype=jnp.bfloat16 if precision == "bf16" else None,
             )
         )
 

@@ -46,3 +46,27 @@ def test_facade_save_roundtrip(example_paths, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded.params.w_feat), np.asarray(model.params.w_feat)
     )
+
+
+def test_facade_bf16_precision(tiny_dataset_cfg):
+    """LensModel.spike_counts(precision='bf16') mirrors the CLI route:
+    counts track f32 up to the bf16 weight rounding."""
+    from lens_tpu.core.network import params_from_numpy
+    from lens_tpu.models.lens import LensModel
+
+    cfg = tiny_dataset_cfg
+    rng = np.random.default_rng(3)
+    m = LensModel.from_params(
+        cfg,
+        params_from_numpy(
+            rng.normal(0, 0.3, (cfg.input, cfg.feature)).astype(np.float32),
+            rng.normal(0, 0.3, (cfg.feature, cfg.output)).astype(np.float32),
+            np.zeros(cfg.feature, np.float32),
+            np.zeros(cfg.output, np.float32),
+        ),
+    )
+    intens = rng.random((5, cfg.input)).astype(np.float32)
+    f32 = m.spike_counts(intens)
+    bf16 = m.spike_counts(intens, precision="bf16")
+    assert bf16.shape == f32.shape
+    assert (np.abs(bf16 - f32) <= 3).all()
