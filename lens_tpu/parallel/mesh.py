@@ -56,6 +56,8 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None) -> Me
 
 
 _SHARDED_INT8_CACHE: dict = {}
+_DP_PLACED_CACHE: dict = {}
+_TP_PLACED_CACHE: dict = {}
 
 
 def shard_queries(mesh: Mesh, arr: jax.Array) -> jax.Array:
@@ -89,14 +91,25 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
     import jax.numpy as jnp
 
     from lens_tpu.core.network import SpikeThresholds, forward_counts
+    from lens_tpu.utils.memo import id_memo
 
     mesh = mesh or make_mesh()
     n_data = mesh.shape["data"]
     q = intensities.shape[0]
     intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
+    # Params placement is memoized per (weights, mesh): this function runs
+    # once per dispatch (run_model's p50 sampling) and re-uploading the
+    # replicated params every call would make the measured latency a
+    # transfer benchmark (make_mesh memoizes, so the mesh anchor is stable).
+    placed = id_memo(
+        _DP_PLACED_CACHE,
+        (params.w_feat, params.w_out, mesh),
+        (),
+        lambda: replicate(mesh, params),
+    )
     with mesh:
         counts = forward_counts(
-            replicate(mesh, params),
+            placed,
             shard_queries(mesh, jnp.asarray(intens)),
             replicate(mesh, jnp.asarray(u_thresh)),
             spike_thresholds=spike_thresholds or SpikeThresholds(),
@@ -133,37 +146,52 @@ def tp_sharded_spike_counts(
     output is produced by the same local dot-product order regardless of
     which shard owns it.
     """
+    import jax.numpy as jnp
+
     from lens_tpu.core.network import forward_counts
+    from lens_tpu.utils.memo import id_memo
 
     if mesh is None:
         n = len(jax.devices())
         model = model_shards or n
         mesh = make_mesh(data=max(1, n // model))
 
-    def shard_params(w_out_sharded, jnp):
-        thr_out = pad_to_multiple(
+    r = params.w_out.shape[1]
+
+    def place():
+        # One-time: pad the place axis to the 'model' multiple and place all
+        # four tensors.  Memoized per (weights, mesh) — per-dispatch
+        # re-uploads of a large database would dominate the measured p50.
+        w_out_p = pad_to_multiple(
+            np.asarray(params.w_out), 1, mesh.shape["model"]
+        )
+        thr_out_p = pad_to_multiple(
             np.asarray(params.thr_out, np.float32), 0, mesh.shape["model"]
         )
         return type(params)(
             w_feat=replicate(mesh, jnp.asarray(params.w_feat)),
-            w_out=w_out_sharded,
+            w_out=shard_output_axis(mesh, jnp.asarray(w_out_p), 1),
             thr_feat=replicate(mesh, jnp.asarray(params.thr_feat)),
-            thr_out=shard_output_axis(mesh, jnp.asarray(thr_out), 0),
+            thr_out=shard_output_axis(mesh, jnp.asarray(thr_out_p), 0),
         )
 
-    return _place_sharded_counts(
-        mesh,
-        params.w_out,
-        shard_params,
-        intensities,
-        u_thresh,
-        lambda p, i, u: forward_counts(
-            p, i, u,
+    placed = id_memo(
+        _TP_PLACED_CACHE, (params.w_feat, params.w_out, mesh), (), place
+    )
+    q = intensities.shape[0]
+    intens = pad_to_multiple(
+        np.asarray(intensities, np.float32), 0, mesh.shape["data"]
+    )
+    with mesh:
+        counts = forward_counts(
+            placed,
+            shard_queries(mesh, jnp.asarray(intens)),
+            replicate(mesh, jnp.asarray(u_thresh)),
             spike_thresholds=spike_thresholds or _default_thresholds(),
             min_v_mem=min_v_mem,
             matmul_dtype=matmul_dtype,
-        ),
-    )
+        )
+    return np.asarray(counts)[:q, :r]
 
 
 def _default_thresholds():
