@@ -267,3 +267,34 @@ def test_precision_bf16_rejected_for_quantized_sim(tiny_dataset):
         )
     with pytest.raises(AssertionError, match="precision"):
         check_args(replace(tiny_dataset, precision="f16"))
+
+
+def test_save_input_roundtrips_through_frame_rebuild(tiny_dataset, tiny_model, tmp_path):
+    """The --save_input per-bin event arrays rebuild into PNG frames via the
+    manual_eventframe_generator counterpart (tools/images.py), and the
+    rebuilt frames equal the saved (clipped) bins."""
+    from dataclasses import replace
+
+    from PIL import Image
+
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.tools.images import frames_from_event_arrays
+
+    out_base = str(tmp_path / "out")
+    run_event_driven(
+        replace(tiny_dataset, event_driven=True, save_input=True,
+                headless=True, output_base=out_base)
+    )
+    newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+    events_dir = os.path.join(newest, "events")
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    n = frames_from_event_arrays(
+        events_dir, rebuilt_dir, roi_dim=tiny_dataset.roi_dim
+    )
+    saved = sorted(os.listdir(events_dir))
+    assert n == len(saved) > 0
+    first = np.load(os.path.join(events_dir, saved[0]))
+    png = np.asarray(
+        Image.open(os.path.join(rebuilt_dir, sorted(os.listdir(rebuilt_dir))[0]))
+    )
+    np.testing.assert_array_equal(png, np.clip(first, 0, 255).astype(np.uint8))
