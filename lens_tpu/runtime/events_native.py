@@ -22,21 +22,37 @@ _SO = os.path.abspath(os.path.join(_NATIVE_DIR, "liblens_events.so"))
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_lib_lock = threading.Lock()
 
 
 def _build() -> bool:
+    """Compile to a temp file, then atomically rename into place: a build
+    killed mid-write (or two processes racing) must never leave a corrupt
+    .so for a later CDLL to choke on."""
+    tmp = f"{_SO}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -48,7 +64,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     )
     if rebuild and not _build():
         return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # Corrupt/wrong-arch .so (e.g. copied from another machine): try one
+        # clean rebuild, else the numpy fallback serves — the framework
+        # never hard-depends on the toolchain.
+        if not (os.path.exists(_SRC) and _build()):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.lens_accumulate_frames.restype = ctypes.c_int64
     lib.lens_accumulate_frames.argtypes = [
@@ -145,6 +172,8 @@ def accumulate_frames(
     roi_w, roi_h = roi_size
     if len(t) == 0:
         return np.zeros((0, roi_h, roi_w), np.uint32)
+    lo, hi = largest_sane_segment(t, timebin_s)
+    t, x, y = t[lo:hi], x[lo:hi], y[lo:hi]
     lib = get_lib()
     if lib is not None:
         max_frames = _bound_max_frames(t, t0, timebin_s, max_frames)
@@ -172,6 +201,27 @@ def _bound_max_frames(t, t0, timebin_s, max_frames) -> int:
     t_max = float(np.max(t))
     span = int(np.floor((t_max - start) / timebin_s)) + 1 if t_max >= start else 1
     return max(1, min(int(max_frames), span))
+
+
+# Corruption guard for the BATCH entry points (the streaming engines have
+# max_gap_bins; without this, one microseconds-parsed-as-seconds timestamp
+# makes the bin span hit the frame cap and preallocates gigabytes).
+MAX_GAP_BINS_BATCH = 1_000_000
+
+
+def largest_sane_segment(t: np.ndarray, timebin_s: float):
+    """Indices (lo, hi) of the largest contiguous run of time-sorted events
+    with no inter-event gap above MAX_GAP_BINS_BATCH bins — the same rule
+    the streaming replay applies (stream.aer_bin_source)."""
+    if len(t) < 2:
+        return 0, len(t)
+    gaps = np.diff(np.asarray(t, np.float64))
+    jumps = np.nonzero(gaps > MAX_GAP_BINS_BATCH * timebin_s)[0]
+    if jumps.size == 0:
+        return 0, len(t)
+    edges = np.concatenate(([0], jumps + 1, [len(t)]))
+    seg = int(np.argmax(np.diff(edges)))
+    return int(edges[seg]), int(edges[seg + 1])
 
 
 def _accumulate_frames_np(
@@ -219,6 +269,8 @@ def decay_frames(
     y = _as(y, np.uint16)
     if len(t) == 0:
         return np.zeros((0, height, width), np.float32)
+    lo, hi = largest_sane_segment(t, timebin_s)
+    t, x, y = t[lo:hi], x[lo:hi], y[lo:hi]
     lib = get_lib()
     if lib is not None:
         max_frames = _bound_max_frames(t, t0, timebin_s, max_frames)
@@ -308,7 +360,7 @@ def parse_text_events(path: str):
         x = np.zeros(n, np.uint16)
         y = np.zeros(n, np.uint16)
         pol = np.zeros(n, np.uint8)
-        lib.lens_parse_text_events(
+        n2 = lib.lens_parse_text_events(
             path.encode(),
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
@@ -316,7 +368,11 @@ def parse_text_events(path: str):
             pol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             n, ctypes.byref(w), ctypes.byref(h),
         )
-        return t, x, y, pol, (w.value, h.value)
+        # The file may shrink between the count and fill passes (log
+        # rotation, a recorder truncating); trust the FILL pass's count or
+        # trailing slots stay as phantom zero events.
+        n2 = max(0, min(int(n2), n))
+        return t[:n2], x[:n2], y[:n2], pol[:n2], (w.value, h.value)
     # numpy fallback
     rows = []
     width = height = 0
@@ -325,15 +381,21 @@ def parse_text_events(path: str):
         for line in f:
             parts = line.split()
             if first and len(parts) == 2:
-                width, height = int(parts[0]), int(parts[1])
-                first = False
-                continue
+                try:
+                    width, height = int(parts[0]), int(parts[1])
+                    first = False
+                    continue
+                except ValueError:
+                    pass  # two non-numeric tokens: not a header
             first = False
             if len(parts) >= 4:
-                rows.append(
-                    (float(parts[0]), int(float(parts[1])), int(float(parts[2])),
-                     int(float(parts[3])))
-                )
+                try:
+                    rows.append(
+                        (float(parts[0]), int(float(parts[1])),
+                         int(float(parts[2])), int(float(parts[3])))
+                    )
+                except ValueError:
+                    continue  # comments/garbage lines skip, like the C++
     arr = np.array(rows) if rows else np.zeros((0, 4))
     return (
         arr[:, 0].astype(np.float64),
@@ -361,6 +423,9 @@ class StreamSession:
     # either way (stored as counters, synthesized at poll); this bounds how
     # far a single event may jump the clock.  1M bins = ~70 h at 250 ms.
     DEFAULT_MAX_GAP_BINS = 1_000_000
+    # Gap-far drops tolerated before concluding t0 was anchored by a corrupt
+    # far-past line (mirrors the C++ kFarStreakRebase).
+    FAR_STREAK_REBASE = 32
 
     def __init__(
         self,
@@ -404,6 +469,7 @@ class StreamSession:
             # entries: int k = run of k empty bins; tuple = (frame, raster)
             self._ready: list = []
             self._pending = 0
+            self._far_streak = 0
             # The API contract is producer feed()/flush() from one thread,
             # consumer poll()/pending() from another (the C++ engine is
             # mutex-guarded); the fallback must be equally safe.
@@ -452,7 +518,28 @@ class StreamSession:
                 if b < self._cur_bin:
                     continue
                 if b - self._cur_bin > self.max_gap_bins:  # corrupt far-future
-                    continue
+                    # ...unless t0 itself was anchored by a corrupt far-PAST
+                    # line: a single stray far-future line produces one such
+                    # drop, a poisoned anchor an unbroken STREAK of them —
+                    # before the first emitted bin, a long streak rebases
+                    # the clock forward (C++ engine's rule, FAR_STREAK_REBASE).
+                    self._far_streak += 1
+                    if (
+                        self._cur_bin == 0
+                        and self._pending == 0
+                        and not self._ready
+                        and self._far_streak >= self.FAR_STREAK_REBASE
+                    ):
+                        self._t0 = float(t[i])
+                        self._frame[:] = 0
+                        self._raster[:] = 0
+                        self._dirty = False
+                        self._far_streak = 0
+                        b = 0
+                    else:
+                        continue
+                else:
+                    self._far_streak = 0  # in-window event: the anchor is sane
                 while self._cur_bin < b:
                     self._close_bin()
                 self._dirty = True
@@ -465,13 +552,15 @@ class StreamSession:
                     self._raster[s, pix] += 1
 
     def flush(self) -> None:
-        """Close the current (partial) bin — call at end of stream."""
+        """Close the current (partial) bin — call at end of stream.
+        Idempotent: a defensive second flush emits no spurious empty bin."""
         if self._handle is not None:
             self._lib.lens_stream_flush(self._handle)
             return
         with self._lock:
             if self._any:
                 self._close_bin()
+            self._any = False
 
     # -- consumer side -------------------------------------------------------
     def pending(self) -> int:

@@ -238,10 +238,12 @@ class ModelHost:
         with self._lock:
             counts = self.model.spike_counts(intens)
         latency = (time.perf_counter() - t0) * 1000.0
-        self.latencies_ms.append(latency)
-        if len(self.latencies_ms) > 10_000:  # bounded stats window
-            del self.latencies_ms[:5_000]
-        self.requests += 1
+        with self._lock:  # handler threads are concurrent; unguarded
+            # append/trim/increment lose counts and race the window trim
+            self.latencies_ms.append(latency)
+            if len(self.latencies_ms) > 10_000:  # bounded stats window
+                del self.latencies_ms[:5_000]
+            self.requests += 1
         return {
             "matches": [int(c) for c in counts.argmax(axis=1)],
             "counts": counts.astype(int).tolist(),
@@ -351,6 +353,12 @@ class ModelHost:
 
 def _make_handler(host: ModelHost):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout: a client that declares a Content-Length but stalls
+        # mid-body would otherwise pin its handler thread in rfile.read
+        # forever (slow-loris on the 0.0.0.0-bound endpoint); on timeout the
+        # connection is closed and the thread freed.
+        timeout = 30
+
         def log_message(self, fmt, *args):  # quiet; stats replace access logs
             pass
 
@@ -421,6 +429,11 @@ def _make_handler(host: ModelHost):
                     self._send(200, host.match(frames))
                 elif self.path == "/stream/open":
                     opts = json.loads(raw) if raw else {}
+                    if not isinstance(opts, dict):
+                        # Valid JSON but not an object (e.g. a bare "chip"
+                        # string) is a client error, not a 500.
+                        self._send(400, {"error": "body must be a JSON object"})
+                        return
                     self._send(200, host.stream_open(opts.get("thresholds", "chip")))
                 elif self.path == "/stream/bin":
                     sid = self.headers.get("X-Session", "")

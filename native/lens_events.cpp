@@ -158,15 +158,31 @@ int64_t lens_parse_text_events(const char* path, double* t, uint16_t* x,
                                int* width, int* height) {
   FILE* f = std::fopen(path, "r");
   if (!f) return -1;
-  char line[256];
+  char line[8192];
   int64_t count = 0;
   *width = 0;
   *height = 0;
   bool first = true;
   while (std::fgets(line, sizeof(line), f)) {
+    // A line longer than the buffer would otherwise be split into chunks
+    // whose tails can parse as phantom events; skip the overflow line
+    // entirely (consume to newline), matching the Python fallback's
+    // whole-line parsing.
+    if (std::strchr(line, '\n') == nullptr && !std::feof(f)) {
+      int ch;
+      while ((ch = std::fgetc(f)) != '\n' && ch != EOF) {
+      }
+      first = false;
+      continue;
+    }
     double a, b, c, d;
+    char probe[2];
     const int got = std::sscanf(line, "%lf %lf %lf %lf", &a, &b, &c, &d);
-    if (first && got == 2) {  // header: "width height"
+    // Header iff the line holds EXACTLY two tokens (the fallback's rule):
+    // a partially-corrupt 4-field event whose first two tokens are numeric
+    // must not be consumed as a bogus width/height.
+    if (first && got == 2 &&
+        std::sscanf(line, "%*s %*s %1s", probe) != 1) {
       *width = (int)a;
       *height = (int)b;
       first = false;
@@ -217,11 +233,19 @@ struct BinEntry {
   std::vector<uint8_t> blob;
 };
 
+// Gap-far drops tolerated before concluding the stream clock was anchored
+// by a corrupt far-past line (at chip event densities, 32 events is a tiny
+// fraction of one bin — recovery costs almost nothing).
+static constexpr int64_t kFarStreakRebase = 32;
+
 struct LensStream {
   double timebin_s;
   int roi_x, roi_y, roi_w, roi_h, hot_cap, substeps, n_in;
   int64_t max_gap_bins;  // corruption guard: events jumping further ahead
                          // than this many bins are dropped as corrupt
+  int64_t far_streak = 0;  // consecutive gap-far drops before the first
+                           // emitted bin; a long streak means t0 itself was
+                           // anchored by a corrupt far-past line
   std::vector<int32_t> lut;  // roi_h*roi_w -> input index or -1
   std::mutex mu;
   double t0 = -1.0;
@@ -326,12 +350,33 @@ void lens_stream_feed(void* h, const double* t, const uint16_t* x,
       s->cur_dirty = false;
     }
     s->any = true;
-    const int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
+    int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
     if (b < s->cur_bin) continue;  // late event: its bin already emitted
     // Corruption guard: a single malformed line with a far-future timestamp
     // must not advance the stream clock (dropping all subsequent real
     // events as "late") or flood the consumer with empty bins.
-    if (b - s->cur_bin > s->max_gap_bins) continue;
+    if (b - s->cur_bin > s->max_gap_bins) {
+      // ...but if t0 itself was anchored by a corrupt far-PAST line, EVERY
+      // subsequent real event lands gap-guard-far ahead and the stream
+      // would emit nothing forever.  A single stray far-future line
+      // produces one such drop; a poisoned anchor produces an unbroken
+      // streak of them — so while no bin has been emitted, a long streak
+      // rebases the clock FORWARD to the current event (the symmetric twin
+      // of the far-future-first-line rebase below).
+      if (s->cur_bin == 0 && s->pending_bins == 0 && s->ready.empty() &&
+          ++s->far_streak >= kFarStreakRebase) {
+        s->t0 = t[i];
+        std::fill(s->frame.begin(), s->frame.end(), 0u);
+        std::fill(s->raster.begin(), s->raster.end(), 0);
+        s->cur_dirty = false;
+        s->far_streak = 0;
+        b = 0;
+      } else {
+        continue;
+      }
+    } else {
+      s->far_streak = 0;  // an in-window event: the anchor is sane
+    }
     while (s->cur_bin < b) s->close_bin_locked();
     s->cur_dirty = true;
     s->frame[(int64_t)yr * s->roi_w + xr] += 1;
@@ -352,6 +397,9 @@ void lens_stream_flush(void* h) {
   auto* s = (LensStream*)h;
   std::lock_guard<std::mutex> lock(s->mu);
   if (s->any) s->close_bin_locked();
+  // Idempotent: a defensive second flush (e.g. a finally block after the
+  // normal end-of-stream flush) must not emit a spurious empty bin.
+  s->any = false;
 }
 
 int64_t lens_stream_pending(void* h) {

@@ -217,3 +217,113 @@ def test_stream_session_jitter_does_not_rebase():
             assert sums == [2, 1], (use_native, sums)
         finally:
             s.close()
+
+
+def test_stream_session_far_past_t0_recovers():
+    """A corrupt near-zero FIRST line (epoch-second stream) must not wedge
+    the stream forever: a persistent streak of gap-far real events (only a
+    poisoned anchor produces one) rebases the clock forward and the rest of
+    the stream processes normally (both engines).  A single stray far event
+    must NOT trigger the rebase (covered by the existing
+    test_corrupt_far_future_event_dropped)."""
+    lut = np.zeros((80, 80), np.int32)
+    streak = ev.StreamSession.FAR_STREAK_REBASE
+    n_real = streak + 40  # enough to trip the streak and keep streaming
+    t0 = 1.7e9  # epoch seconds
+    t_real = t0 + np.arange(n_real) * 0.01  # 10 events per 0.1 s bin
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        s = ev.StreamSession(
+            0.1, lut, substeps=4, roi_origin=(0, 0), hot_cap=0, n_in=1,
+            use_native=use_native,
+        )
+        try:
+            s.feed(
+                np.concatenate([[0.0001], t_real]),
+                np.full(n_real + 1, 3, np.uint16),
+                np.full(n_real + 1, 3, np.uint16),
+            )
+            s.flush()
+            sums = []
+            while (out := s.poll()) is not None:
+                sums.append(int(out[0].sum()))
+            # The first streak-1 real events are sacrificed to detection
+            # (the trigger event itself is kept as the new t0); everything
+            # after the rebase point is binned normally.
+            assert sum(sums) == n_real - (streak - 1), (use_native, sums)
+            assert len(sums) >= 2 and sums[-1] > 0, (use_native, sums)
+        finally:
+            s.close()
+
+
+def test_stream_session_flush_idempotent():
+    """A defensive second flush must not emit a spurious empty bin (it would
+    shift bin indices and advance membranes one extra step downstream)."""
+    lut = np.zeros((80, 80), np.int32)
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        s = ev.StreamSession(
+            0.1, lut, substeps=2, roi_origin=(0, 0), hot_cap=0, n_in=1,
+            use_native=use_native,
+        )
+        try:
+            s.feed(np.array([0.0]), np.array([1], np.uint16), np.array([1], np.uint16))
+            s.flush()
+            s.flush()  # finally-block style double flush
+            n = 0
+            while s.poll() is not None:
+                n += 1
+            assert n == 1, (use_native, n)
+        finally:
+            s.close()
+
+
+def test_batch_accumulate_corruption_guard():
+    """One microseconds-parsed-as-seconds timestamp in a batch accumulation
+    must not preallocate gigabytes — the largest sane segment wins, matching
+    the streaming replay's rule."""
+    t = np.array([0.0, 0.1, 0.2, 0.3, 1.0e9])
+    x = np.array([30, 31, 32, 33, 34], np.uint16)
+    y = np.array([5, 5, 5, 5, 5], np.uint16)
+    frames = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5)
+    assert frames.shape[0] == 2  # bins 0..1 of the sane segment only
+    assert frames.sum() == 4
+
+
+def test_text_parser_long_line_and_header_parity(tmp_path):
+    """Overlong lines must not shed phantom events, and a numeric-prefixed
+    corrupt first line must not be eaten as a header — native and fallback
+    agree."""
+    path = tmp_path / "ev.txt"
+    long_comment = "# " + "z" * 9000 + " 12 34 56 1"
+    path.write_text(
+        f"{long_comment}\n0.1 23 45 1\n0.2 24 46 0\n"
+    )
+    results = {}
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        if use_native:
+            out = ev.parse_text_events(str(path))
+        else:
+            # Exercise the pure-Python branch directly.
+            import unittest.mock as mock
+
+            with mock.patch.object(ev, "get_lib", return_value=None):
+                out = ev.parse_text_events(str(path))
+        t, x, y, pol, dims = out
+        results[use_native] = (t.tolist(), x.tolist(), y.tolist(), dims)
+    fallback = results[False]
+    assert fallback[0] == [0.1, 0.2] and fallback[3] == (0, 0)
+    if True in results:
+        assert results[True] == fallback
+
+    # Corrupt numeric-prefixed first line: not a header in either engine.
+    path2 = tmp_path / "ev2.txt"
+    path2.write_text("0.05 23 garbage 1\n0.1 23 45 1\n")
+    for use_native in ([True, False] if ev.get_lib() is not None else [False]):
+        if use_native:
+            t, x, y, pol, dims = ev.parse_text_events(str(path2))
+        else:
+            import unittest.mock as mock
+
+            with mock.patch.object(ev, "get_lib", return_value=None):
+                t, x, y, pol, dims = ev.parse_text_events(str(path2))
+        assert dims == (0, 0), (use_native, dims)
+        assert t.tolist() == [0.1], (use_native, t)

@@ -304,3 +304,14 @@ def test_oversized_body_is_413_before_buffering(server):
     resp = conn.getresponse()
     assert resp.status == 413
     conn.close()
+
+
+def test_stream_open_nondict_json_is_400(server):
+    """A valid-JSON non-object body (a plausible client mistake) is a 400
+    validation error, not a 500 AttributeError."""
+    import urllib.error
+
+    _, _, port = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/stream/open", b'"chip"')
+    assert e.value.code == 400
