@@ -102,6 +102,9 @@ class LensModel:
         `precision="bf16"` routes through MXU-native bf16 operands with f32
         accumulation (the --precision bf16 CLI behavior, including its
         exactness gate and f32 fallback)."""
+        assert precision in ("f32", "bf16"), (
+            f"precision must be 'f32' or 'bf16', got {precision!r}"
+        )
         from lens_tpu.ops.fused_forward import best_forward
 
         return np.asarray(

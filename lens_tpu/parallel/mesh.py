@@ -101,11 +101,15 @@ def sharded_spike_counts(params, intensities, u_thresh, min_v_mem=-1.0,
     # once per dispatch (run_model's p50 sampling) and re-uploading the
     # replicated params every call would make the measured latency a
     # transfer benchmark (make_mesh memoizes, so the mesh anchor is stable).
+    # Anchored on ALL four tensors (a _replace with new thresholds shares
+    # the weight buffers); max_entries=2 — each entry holds a full
+    # device-resident replication of the model.
     placed = id_memo(
         _DP_PLACED_CACHE,
-        (params.w_feat, params.w_out, mesh),
+        (params.w_feat, params.w_out, params.thr_feat, params.thr_out, mesh),
         (),
         lambda: replicate(mesh, params),
+        max_entries=2,
     )
     with mesh:
         counts = forward_counts(
@@ -176,7 +180,11 @@ def tp_sharded_spike_counts(
         )
 
     placed = id_memo(
-        _TP_PLACED_CACHE, (params.w_feat, params.w_out, mesh), (), place
+        _TP_PLACED_CACHE,
+        (params.w_feat, params.w_out, params.thr_feat, params.thr_out, mesh),
+        (),
+        place,
+        max_entries=2,  # each entry holds a device-resident sharded database
     )
     q = intensities.shape[0]
     intens = pad_to_multiple(
@@ -254,7 +262,8 @@ def sharded_quantized_counts(
             )
 
         placed = _id_memo(
-            _SHARDED_INT8_CACHE, (w_feat_i8, w_out_i8, mesh), (), place
+            _SHARDED_INT8_CACHE, (w_feat_i8, w_out_i8, mesh), (), place,
+            max_entries=2,  # device-resident sharded database per entry
         )
         q = intensities.shape[0]
         intens = pad_to_multiple(

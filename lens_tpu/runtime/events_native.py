@@ -203,20 +203,18 @@ def _bound_max_frames(t, t0, timebin_s, max_frames) -> int:
     return max(1, min(int(max_frames), span))
 
 
-# Corruption guard for the BATCH entry points (the streaming engines have
-# max_gap_bins; without this, one microseconds-parsed-as-seconds timestamp
-# makes the bin span hit the frame cap and preallocates gigabytes).
-MAX_GAP_BINS_BATCH = 1_000_000
-
-
 def largest_sane_segment(t: np.ndarray, timebin_s: float):
-    """Indices (lo, hi) of the largest contiguous run of time-sorted events
-    with no inter-event gap above MAX_GAP_BINS_BATCH bins — the same rule
-    the streaming replay applies (stream.aer_bin_source)."""
+    """Indices (lo, hi) of the largest contiguous run of events with no
+    inter-event time jump (in EITHER direction — a corrupt mid-array
+    timestamp breaks sortedness, so the jump after it is negative) above the
+    streaming engines' corruption window (StreamSession.DEFAULT_MAX_GAP_BINS
+    — one shared constant, so batch and streaming corruption handling cannot
+    desynchronize)."""
     if len(t) < 2:
         return 0, len(t)
-    gaps = np.diff(np.asarray(t, np.float64))
-    jumps = np.nonzero(gaps > MAX_GAP_BINS_BATCH * timebin_s)[0]
+    window = StreamSession.DEFAULT_MAX_GAP_BINS * timebin_s
+    gaps = np.abs(np.diff(np.asarray(t, np.float64)))
+    jumps = np.nonzero(gaps > window)[0]
     if jumps.size == 0:
         return 0, len(t)
     edges = np.concatenate(([0], jumps + 1, [len(t)]))
@@ -382,7 +380,10 @@ def parse_text_events(path: str):
             parts = line.split()
             if first and len(parts) == 2:
                 try:
-                    width, height = int(parts[0]), int(parts[1])
+                    # int(float(...)) truncation matches the C++ (int)cast,
+                    # so a float-valued header ("128.0 96") parses the same
+                    # with or without the toolchain.
+                    width, height = int(float(parts[0])), int(float(parts[1]))
                     first = False
                     continue
                 except ValueError:
@@ -515,27 +516,33 @@ class StreamSession:
                     self._dirty = False
                 self._any = True
                 b = int(np.floor((t[i] - self._t0) / self.timebin_s))
-                if b < self._cur_bin:
-                    continue
-                if b - self._cur_bin > self.max_gap_bins:  # corrupt far-future
-                    # ...unless t0 itself was anchored by a corrupt far-PAST
-                    # line: a single stray far-future line produces one such
-                    # drop, a poisoned anchor an unbroken STREAK of them —
-                    # before the first emitted bin, a long streak rebases
-                    # the clock forward (C++ engine's rule, FAR_STREAK_REBASE).
-                    self._far_streak += 1
+                in_window = (
+                    b >= self._cur_bin
+                    and b - self._cur_bin <= self.max_gap_bins
+                )
+                if not in_window:
+                    # Out-of-window in EITHER direction (late, or gap-far
+                    # ahead).  A single stray corrupt line produces one such
+                    # drop; a poisoned t0 anchor produces an unbroken STREAK
+                    # of them — so before the first emitted bin, a long
+                    # streak rebases the clock to the current event (the
+                    # C++ engine's rule, FAR_STREAK_REBASE).  After a bin
+                    # has been emitted the history is fixed: drop.
                     if (
                         self._cur_bin == 0
                         and self._pending == 0
                         and not self._ready
-                        and self._far_streak >= self.FAR_STREAK_REBASE
                     ):
-                        self._t0 = float(t[i])
-                        self._frame[:] = 0
-                        self._raster[:] = 0
-                        self._dirty = False
-                        self._far_streak = 0
-                        b = 0
+                        self._far_streak += 1
+                        if self._far_streak >= self.FAR_STREAK_REBASE:
+                            self._t0 = float(t[i])
+                            self._frame[:] = 0
+                            self._raster[:] = 0
+                            self._dirty = False
+                            self._far_streak = 0
+                            b = 0
+                        else:
+                            continue
                     else:
                         continue
                 else:

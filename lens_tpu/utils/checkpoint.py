@@ -98,7 +98,14 @@ def load_model(models_dir: str, model_name: str) -> LensParams:
 
 
 def _check_finite(params: LensParams, path: str) -> LensParams:
-    for name, arr in (("w_feat", params.w_feat), ("w_out", params.w_out)):
+    # Thresholds too: training updates them alongside weights (ITP), so a
+    # diverged run can write NaN thr arrays with finite weights.
+    for name, arr in (
+        ("w_feat", params.w_feat),
+        ("w_out", params.w_out),
+        ("thr_feat", params.thr_feat),
+        ("thr_out", params.thr_out),
+    ):
         if not np.isfinite(np.asarray(arr)).all():
             raise ValueError(
                 f"checkpoint {path}: {name} contains NaN/inf — refusing to "

@@ -15,15 +15,17 @@ also depends on — a value keyed on one buffer alone goes stale for a pytree
 from __future__ import annotations
 
 
-def id_memo(cache: dict, anchors: tuple, extra: tuple, build):
-    """Return build() memoized under (ids of anchors) + extra, bounded at 16
-    entries (FIFO eviction)."""
+def id_memo(cache: dict, anchors: tuple, extra: tuple, build, max_entries: int = 16):
+    """Return build() memoized under (ids of anchors) + extra, bounded at
+    `max_entries` (FIFO eviction).  Caches whose values are DEVICE-resident
+    (e.g. mesh placements of a large database) should pass a small
+    max_entries — retained entries hold HBM, not just host RAM."""
     key = tuple(map(id, anchors)) + extra
     hit = cache.get(key)
     if hit is not None and all(h is a for h, a in zip(hit[0], anchors)):
         return hit[1]
     val = build()
-    if len(cache) >= 16:
+    if len(cache) >= max_entries:
         cache.pop(next(iter(cache)))
     cache[key] = (anchors, val)
     return val

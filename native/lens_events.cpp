@@ -351,18 +351,17 @@ void lens_stream_feed(void* h, const double* t, const uint16_t* x,
     }
     s->any = true;
     int64_t b = (int64_t)std::floor((t[i] - s->t0) / s->timebin_s);
-    if (b < s->cur_bin) continue;  // late event: its bin already emitted
-    // Corruption guard: a single malformed line with a far-future timestamp
-    // must not advance the stream clock (dropping all subsequent real
-    // events as "late") or flood the consumer with empty bins.
-    if (b - s->cur_bin > s->max_gap_bins) {
-      // ...but if t0 itself was anchored by a corrupt far-PAST line, EVERY
-      // subsequent real event lands gap-guard-far ahead and the stream
-      // would emit nothing forever.  A single stray far-future line
-      // produces one such drop; a poisoned anchor produces an unbroken
-      // streak of them — so while no bin has been emitted, a long streak
-      // rebases the clock FORWARD to the current event (the symmetric twin
-      // of the far-future-first-line rebase below).
+    // Corruption guards.  In-window = [cur_bin, cur_bin + max_gap_bins]:
+    // late events (bin already emitted) and gap-far future events both
+    // drop.  But if t0 itself was anchored by a corrupt line, EVERY
+    // subsequent real event lands out-of-window (behind for a far-future
+    // anchor, ahead for a far-past one) and the stream would emit nothing
+    // forever — a single stray corrupt line produces one drop, a poisoned
+    // anchor an unbroken STREAK of them, so while no bin has been emitted
+    // a long streak rebases the clock to the current event.
+    const bool in_window =
+        b >= s->cur_bin && b - s->cur_bin <= s->max_gap_bins;
+    if (!in_window) {
       if (s->cur_bin == 0 && s->pending_bins == 0 && s->ready.empty() &&
           ++s->far_streak >= kFarStreakRebase) {
         s->t0 = t[i];

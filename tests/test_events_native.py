@@ -327,3 +327,16 @@ def test_text_parser_long_line_and_header_parity(tmp_path):
                 t, x, y, pol, dims = ev.parse_text_events(str(path2))
         assert dims == (0, 0), (use_native, dims)
         assert t.tolist() == [0.1], (use_native, t)
+
+
+def test_largest_sane_segment_isolates_mid_array_corruption():
+    """A corrupt far-future timestamp in the MIDDLE of a recording breaks
+    sortedness; both the positive jump before it and the negative jump after
+    it must split, so the corrupt row is isolated and the real events win."""
+    t = np.array([0.0, 0.1, 1.0e9, 0.2, 0.3, 0.4])
+    lo, hi = ev.largest_sane_segment(t, 0.25)
+    assert (lo, hi) == (3, 6)  # the real tail, not the corrupt-containing run
+    x = np.full(6, 30, np.uint16)
+    y = np.full(6, 5, np.uint16)
+    frames = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5)
+    assert frames.sum() == 3  # events 0.2/0.3/0.4 survive
