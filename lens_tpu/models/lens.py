@@ -102,9 +102,10 @@ class LensModel:
         `precision="bf16"` routes through MXU-native bf16 operands with f32
         accumulation (the --precision bf16 CLI behavior, including its
         exactness gate and f32 fallback)."""
-        assert precision in ("f32", "bf16"), (
-            f"precision must be 'f32' or 'bf16', got {precision!r}"
-        )
+        if precision not in ("f32", "bf16"):  # not assert: survives python -O
+            raise ValueError(
+                f"precision must be 'f32' or 'bf16', got {precision!r}"
+            )
         from lens_tpu.ops.fused_forward import best_forward
 
         return np.asarray(

@@ -386,8 +386,8 @@ def parse_text_events(path: str):
                     width, height = int(float(parts[0])), int(float(parts[1]))
                     first = False
                     continue
-                except ValueError:
-                    pass  # two non-numeric tokens: not a header
+                except (ValueError, OverflowError):  # inf -> OverflowError
+                    pass  # non-numeric/absurd tokens: not a header
             first = False
             if len(parts) >= 4:
                 try:
@@ -395,7 +395,7 @@ def parse_text_events(path: str):
                         (float(parts[0]), int(float(parts[1])),
                          int(float(parts[2])), int(float(parts[3])))
                     )
-                except ValueError:
+                except (ValueError, OverflowError):
                     continue  # comments/garbage lines skip, like the C++
     arr = np.array(rows) if rows else np.zeros((0, 4))
     return (

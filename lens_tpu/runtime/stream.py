@@ -415,23 +415,18 @@ def aer_bin_source(cfg: LensConfig, substeps: int):
     timebin_s = cfg.timebin / 1000.0
     t0 = t[0]
     bins = np.floor((t - t0) / timebin_s).astype(np.int64)
-    # Corruption guard, mirroring the live ingest's max_gap_bins rule
-    # (events_native.StreamSession): one malformed timestamp (e.g.
-    # microseconds parsed as seconds, or a near-zero garbage line) would
-    # otherwise materialize billions of empty bins below.  Time-sorted, so
-    # oversized jumps partition the stream into contiguous sane segments;
-    # keep the largest one (a corrupt far-FUTURE line sorts to the end, a
-    # corrupt far-PAST line to the front — either way the real recording is
-    # the big segment).
-    max_gap = events_native.StreamSession.DEFAULT_MAX_GAP_BINS
-    jumps = np.nonzero(np.diff(bins) > max_gap)[0]
-    if jumps.size:
-        edges = np.concatenate(([0], jumps + 1, [len(bins)]))
-        seg = int(np.argmax(np.diff(edges)))
-        lo, hi = int(edges[seg]), int(edges[seg + 1])
+    # Corruption guard: one malformed timestamp (e.g. microseconds parsed
+    # as seconds, or a near-zero garbage line) would otherwise materialize
+    # billions of empty bins below.  ONE shared rule with the batch entry
+    # points (events_native.largest_sane_segment, using the streaming
+    # engines' gap window): keep the largest contiguous sane run — a
+    # corrupt far-FUTURE line sorts to the end, a corrupt far-PAST line to
+    # the front, either way the real recording is the big segment.
+    lo, hi = events_native.largest_sane_segment(t, timebin_s)
+    if (lo, hi) != (0, len(t)):
         logging.getLogger("LENS").warning(
-            "event stream: dropping %d events across %d oversized timestamp "
-            "jumps (corrupt lines?)", len(bins) - (hi - lo), len(jumps)
+            "event stream: dropping %d events outside the largest sane "
+            "segment (corrupt lines?)", len(t) - (hi - lo)
         )
         t, xr, yr = t[lo:hi], xr[lo:hi], yr[lo:hi]
         # Re-anchor the bin grid to the kept segment's first event (the
