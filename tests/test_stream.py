@@ -213,8 +213,11 @@ def test_interrupted_stream_flushes_artifacts(tiny_dataset_cfg, monkeypatch, tmp
     # Ensure a model exists for the tiny config.
     from lens_tpu.train_model import run_training
 
+    # stream_chunk_bins=1: this test mocks the PER-BIN dispatch function to
+    # die mid-stream (the chunked default routes through the multi-bin
+    # program, whose crash path test_consumer_crash_mid_drain covers).
     cfg = replace(tiny_dataset_cfg, event_driven=True, headless=True,
-                  output_base=str(tmp_path / "out"))
+                  stream_chunk_bins=1, output_base=str(tmp_path / "out"))
     model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
     if not os.path.exists(model_path):
         run_training(replace(cfg, train_model=True, event_driven=False))
