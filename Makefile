@@ -1,7 +1,8 @@
 # LENS-TPU development targets
 
 .PHONY: test bench bench-large native example example-fleet example-scale \
-        infer infer-bf16 infer-quant train sweep serve stream dryrun clean
+        infer infer-bf16 infer-quant train sweep serve stream dryrun clean \
+        online-recall
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -35,6 +36,14 @@ serve:
 
 stream:
 	python main.py --event_driven
+
+# Online-mode Recall@N (the reference's headline published result type):
+# full --event_driven replays at on-chip density over both bundled
+# traverses, scored against GT, with the SAD/offline comparison rows.
+# Refreshes STREAM_RECALL.json + lens/data/online/*.csv.
+online-recall:
+	python -m lens_tpu.tools.online_recall --traverse all \
+		--json STREAM_RECALL.json --csv_dir lens/data/online
 
 dryrun:
 	python __graft_entry__.py --dryrun

@@ -37,7 +37,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _spikes(v: jnp.ndarray, thr: float, int_exact: bool = False) -> jnp.ndarray:
+def _spikes(
+    v: jnp.ndarray,
+    thr: float,
+    int_exact: bool = False,
+    recip: Optional[float] = None,
+) -> jnp.ndarray:
     """Multi-spike count: floor(v/thr) clamped at 0.
 
     Default (float path): the literal divide.  At thr == 1.0 it folds at
@@ -45,17 +50,25 @@ def _spikes(v: jnp.ndarray, thr: float, int_exact: bool = False) -> jnp.ndarray:
     cached executable.  (A thr==1.0 divide-elision specialization was tried
     in round 2 and produced a fresh HLO whose remote compile wedged.)
 
-    int_exact=True (the quantized chip route, where v and thr are
-    INTEGER-valued f32 with thr >= 2) replaces the per-step VPU divide with
-    multiply-by-reciprocal plus a +/-1 correction — exact for the quantized
-    envelope: with v/thr < 2^23 the relative error of v * fl(1/thr) keeps
-    floor within +/-1 of true, and the remainder r = v - s0*thr is an exact
-    f32 integer (products/sums < 2^24), so the comparison correction
+    recip (the quantized chip route's fast path): a pre-VERIFIED f32
+    multiplier m with max(floor(v*m), 0) == max(floor(v/thr), 0) for every
+    integer v in the model's membrane envelope (speck_sim.verified_recip
+    proves this exhaustively on the host at discretize time — the multiplier
+    is only passed when the proof holds).  One multiply + floor + max: the
+    same VPU pass count as the float path, no correction arithmetic.
+
+    int_exact=True without recip (fallback when no verified multiplier
+    exists): multiply-by-reciprocal plus a +/-1 correction — exact for the
+    quantized envelope: with v/thr < 2^23 the relative error of v*fl(1/thr)
+    keeps floor within +/-1 of true, and the remainder r = v - s0*thr is an
+    exact f32 integer (products/sums < 2^24), so the comparison correction
     recovers floor(v/thr) exactly.  For v < 0 the corrected floor is <= -1
     and clamps to 0, matching the divide.  NOT valid for non-integer v/thr
     (boundary rounding could differ from the divide) — the float path never
     uses it.  Fuzzed bit-exact against the int32 scan in
     tests/test_speck_sim.py (including engineered exact-multiple ties)."""
+    if recip is not None and thr != 1.0:
+        return jnp.maximum(jnp.floor(v * np.float32(recip)), 0.0)
     if not int_exact or thr == 1.0:
         return jnp.maximum(jnp.floor(v / thr), 0.0)
     inv = np.float32(1.0) / np.float32(thr)  # f32 reciprocal, baked constant
@@ -71,6 +84,8 @@ def _kernel(
     min_v: Optional[float],
     min_v_out: Optional[float] = None,
     int_exact: bool = False,
+    recip_feat: Optional[float] = None,
+    recip_out: Optional[float] = None,
 ):
     if min_v_out is None:
         min_v_out = min_v
@@ -93,13 +108,13 @@ def _kernel(
             x = (u_t[None, :] < intens).astype(jnp.float32)
             h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
             v2 = v2 + h
-            s2 = _spikes(v2, thr_feat, int_exact)
+            s2 = _spikes(v2, thr_feat, int_exact, recip_feat)
             v2 = v2 - s2 * thr_feat
             if min_v is not None:
                 v2 = jnp.maximum(v2, min_v)
             h2 = jnp.dot(s2, w2, preferred_element_type=jnp.float32)
             v3 = v3 + h2
-            s3 = _spikes(v3, thr_out, int_exact)
+            s3 = _spikes(v3, thr_out, int_exact, recip_out)
             v3 = v3 - s3 * thr_out
             if min_v_out is not None:
                 v3 = jnp.maximum(v3, min_v_out)
@@ -120,7 +135,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "spike_thresholds", "min_v_mem", "min_v_mem_out", "tile_q", "interpret",
-        "int_exact",
+        "int_exact", "recip_feat", "recip_out",
     ),
 )
 def forward_counts_pallas(
@@ -133,6 +148,8 @@ def forward_counts_pallas(
     interpret: bool = False,
     min_v_mem_out: Optional[float] = None,  # None = same floor as layer 1
     int_exact: bool = False,  # quantized route: reciprocal spike count
+    recip_feat: Optional[float] = None,  # host-verified exact multipliers
+    recip_out: Optional[float] = None,  # (speck_sim.verified_recip)
 ) -> jnp.ndarray:
     """(Q, n_out) output spike counts; drop-in for forward_counts.
 
@@ -171,6 +188,8 @@ def forward_counts_pallas(
             None if min_v_mem is None else float(min_v_mem),
             None if min_v_mem_out is None else float(min_v_mem_out),
             int_exact,
+            recip_feat,
+            recip_out,
         ),
         out_shape=jax.ShapeDtypeStruct((q_p, n_out_p), jnp.float32),
         grid=grid,

@@ -239,6 +239,68 @@ def forward_counts_quantized_bucketed(
     return forward_counts_quantized(qparams, intensities, u_thresh)[:q]
 
 
+_RECIP_CACHE: dict = {}
+
+
+def verified_recip(thr: int, v_max: int) -> Optional[float]:
+    """A PROVEN-exact f32 reciprocal multiplier for the quantized spike count:
+    m such that max(floor(fl32(v * m)), 0) == max(floor(v / thr), 0) for
+    EVERY integer v in [-v_max, v_max], or None when no candidate survives.
+
+    Why this exists: the fused kernel's quantized route computed
+    floor(v/thr) via multiply-by-reciprocal plus a +/-1 integer correction
+    (5 extra VPU passes over the membrane tile per layer per step — the gap
+    between the 139k quantized and 234k float headlines, BENCHMARKS.md).
+    With a verified multiplier the count is one multiply + floor + max —
+    the float kernel's own pass count.
+
+    Proof is EXHAUSTIVE, not analytic: every integer v in [0, v_max] is
+    checked vectorized on the host (the f64 reference floor(v/thr) is exact
+    for v < 2^53).  Negative v needs no enumeration: 0 < m < 1 gives
+    v*m <= -m < 0 for v <= -1, so floor <= -1 and the max clamps to 0,
+    matching the divide.  Candidates: fl32(1/thr) and its successor (the
+    upward-rounded reciprocal; for thr a power of two the first is exact).
+    Cost: one pass over <= 2^24 floats, memoized per (thr, v_max).
+    """
+    if thr <= 0 or v_max >= 2**24:
+        return None
+    if thr == 1:
+        return 1.0
+    key = (int(thr), int(v_max))
+    if key in _RECIP_CACHE:
+        return _RECIP_CACHE[key]
+    m0 = np.float32(1.0) / np.float32(thr)
+    result = None
+    for m in (m0, np.nextafter(m0, np.float32(1.0), dtype=np.float32)):
+        ok = True
+        for lo in range(0, v_max + 1, 1 << 22):
+            v = np.arange(lo, min(lo + (1 << 22), v_max + 1), dtype=np.float32)
+            got = np.floor(v * m)
+            want = np.floor(v.astype(np.float64) / thr)
+            if not np.array_equal(got, want):
+                ok = False
+                break
+        if ok:
+            result = float(m)
+            break
+    _RECIP_CACHE[key] = result
+    return result
+
+
+def quantized_pallas_recips(
+    qparams: QuantizedParams,
+) -> tuple:
+    """(recip_feat, recip_out) verified multipliers for this model's membrane
+    envelope, or None entries where verification fails (the kernel then uses
+    the +/-1-correction fallback for that layer).  Envelope: a membrane
+    entering the spike count is bounded by (thr - 1) residue + the layer's
+    worst-case drive (_envelope_bounds)."""
+    a1, a2, _ = _envelope_bounds(qparams)
+    r_feat = verified_recip(int(qparams.thr_feat), int(qparams.thr_feat) + a1)
+    r_out = verified_recip(int(qparams.thr_out), int(qparams.thr_out) + a2)
+    return r_feat, r_out
+
+
 def forward_counts_quantized_pallas(
     qparams: QuantizedParams,
     intensities: jnp.ndarray,
@@ -258,6 +320,7 @@ def forward_counts_quantized_pallas(
     bit-exact against forward_counts_quantized in tests/test_speck_sim.py.
     """
     params_f = _pallas_params(qparams)
+    recip_feat, recip_out = quantized_pallas_recips(qparams)
     # One fused dispatch per call (kernel + int cast inside a single jit):
     # every extra per-call device op is a measurable roundtrip on the relay.
     return _quantized_pallas_jit(
@@ -269,15 +332,21 @@ def forward_counts_quantized_pallas(
         float(qparams.minv_out),
         tile_q,
         interpret,
+        recip_feat,
+        recip_out,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thr", "minv_feat", "minv_out", "tile_q", "interpret"),
+    static_argnames=(
+        "thr", "minv_feat", "minv_out", "tile_q", "interpret",
+        "recip_feat", "recip_out",
+    ),
 )
 def _quantized_pallas_jit(
-    params_f, intensities, u_thresh, thr, minv_feat, minv_out, tile_q, interpret
+    params_f, intensities, u_thresh, thr, minv_feat, minv_out, tile_q,
+    interpret, recip_feat=None, recip_out=None,
 ):
     from lens_tpu.ops.fused_forward import forward_counts_pallas
 
@@ -290,11 +359,15 @@ def _quantized_pallas_jit(
         min_v_mem_out=minv_out,
         tile_q=tile_q,
         interpret=interpret,
-        # Integer-valued f32 envelope: the per-step VPU divides become
-        # multiply-by-reciprocal + correction (bit-exact; ~3x fewer VPU
-        # cycles per spike count — the quantized route's divides were the
-        # gap to the float kernel, BENCHMARKS.md).
+        # Integer-valued f32 envelope: spike counts avoid the per-step VPU
+        # divide.  Layers with a host-VERIFIED exact reciprocal (recip_*,
+        # speck_sim.verified_recip) use one multiply+floor — the float
+        # kernel's own pass count; layers without one fall back to
+        # multiply-by-reciprocal + the +/-1 integer correction (int_exact,
+        # still bit-exact on the quantized envelope).
         int_exact=True,
+        recip_feat=recip_feat,
+        recip_out=recip_out,
     )
     return counts.astype(jnp.int32)
 

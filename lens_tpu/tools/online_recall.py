@@ -1,0 +1,269 @@
+"""Online-mode Recall@N benchmark — the reference's headline result type.
+
+The reference's published accuracy (QCR indoor 0.36/0.55/0.68/0.80/0.84/0.88,
+BASELINE.md) comes from an *online event-driven run* on the Speck2f chip:
+run_speck.py:177-226 feeds per-bin spike counts through the rolling sequence
+matcher and ships the resulting similarity matrix + the SAD-vs-LENS overlay
+CSV (reference lens/data/Figure3/220724-16-14-33/SADvLENS_indoor.csv).  This
+tool reproduces that result type with no hardware:
+
+  1. synthesize a DVS stream from a query traverse at on-chip density
+     (tools/make_event_stream.py — ~8e4 events/s, the density the reference
+     hardware logs show),
+  2. replay it through the FULL --event_driven pipeline (event-time AER
+     integration -> quantized network at the on-chip 10/2 thresholds ->
+     OnlineMatcher with the cumulative-accumulator quirk), persisting
+     similarity_matrix.npy exactly as run_speck.py does,
+  3. score the saved online matrix against ground truth at sequence-column
+     granularity (each matcher column covers QUERIES_PER_SEQUENCE query bins),
+  4. run the offline pipeline and the SAD baseline on the same traverse, and
+  5. emit the reference's artifact: an N,SAD,LENS_offline,LENS_online CSV
+     plus a machine-readable JSON report.
+
+Model preparation mirrors tests/test_stream_recall_e2e.py: the float
+checkpoint's weights are scaled by the streaming threshold overrides
+(w_feat x10, w_out x2) — a threshold change is exactly compensated by a
+weight scale on a linear IAF layer — standing in for the sweep-tuned chip
+models the paper deploys (reference run_speck.py:143-144).
+
+GT mapping for the online matrix: the offline pipeline crops GT for the
+sequence conv's 'valid' shape change (run_model.py:269-270); the online
+matcher uses a 'same' conv over rolling windows and never changes shape, so
+the online score uses the UNCROPPED dilated GT, with matcher column m
+covering query bins [W*m, W*(m+1)) (W = QUERIES_PER_SEQUENCE) — a column is
+correct if its matched place is GT-tolerant for any bin in its window (the
+convention of tests/test_stream_recall_e2e.py).
+
+    python -m lens_tpu.tools.online_recall --traverse example
+    python -m lens_tpu.tools.online_recall --traverse sunset
+    python -m lens_tpu.tools.online_recall --traverse all \
+        --json STREAM_RECALL.json --csv_dir lens/data/online
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+from lens_tpu.config import LensConfig
+from lens_tpu.core.network import LensParams
+from lens_tpu.metrics.gt import dilate_gt
+from lens_tpu.metrics.vpr import recall_at_k
+from lens_tpu.run_model import RECALL_NS, run_inference
+from lens_tpu.runtime.stream import QUERIES_PER_SEQUENCE, run_event_driven
+from lens_tpu.sad import run_sad
+from lens_tpu.tools.make_event_stream import synthesize_events
+from lens_tpu.utils import checkpoint
+from lens_tpu.utils.table import ascii_table
+
+EVENTS_PER_BIN = 20_000  # on-chip density: ~8e4 ev/s at 250 ms bins
+# Streaming threshold compensation (run_speck.py:143-144 overrides 10/2;
+# a linear IAF layer's spikes are invariant under (w, thr) -> (c*w, c*thr)).
+FEAT_SCALE, OUT_SCALE = 10.0, 2.0
+
+
+def traverse_configs(root: str, out_base: str) -> dict:
+    """Offline + streaming config pairs for the two bundled traverses."""
+    data_dir = os.path.join(root, "lens", "dataset") + os.sep
+    models_dir = os.path.join(root, "lens", "models")
+    example = dict(
+        data_dir=data_dir, models_dir=models_dir, output_base=out_base,
+        matching=True, headless=True,
+    )
+    sunset = dict(
+        example,
+        dataset="brisevent", camera="davis346",
+        reference="sunset2", query="sunset1",
+        reference_places=641, query_places=724,
+        sequence_length=4, GT_tolerance=2, timebin=1000,
+        dims=7, feature_multiplier=63 / 49,
+    )
+    return {
+        "example": {
+            "offline": LensConfig(**example),
+            # Streaming geometry = offline geometry for the 80x80 frames.
+            "stream": LensConfig(**example, event_driven=True),
+        },
+        "sunset": {
+            "offline": LensConfig(**sunset, roi_dim=49),
+            # The 7x7 brisevent frames ARE the network input (k=1 identity
+            # downsample); stream them as a 7x7 sensor at origin (0,0).
+            "stream": LensConfig(
+                **sunset, roi_dim=7, roi_x=0, roi_y=0, event_driven=True
+            ),
+        },
+    }
+
+
+def prepare_stream_model(cfg: LensConfig, models_dir: str, tmp_dir: str) -> None:
+    """Save the threshold-compensated checkpoint under cfg.models_dir."""
+    params = checkpoint.load_model(models_dir, cfg.model_name())
+    rescaled = LensParams(
+        w_feat=params.w_feat * FEAT_SCALE,
+        w_out=params.w_out * OUT_SCALE,
+        thr_feat=params.thr_feat,
+        thr_out=params.thr_out,
+    )
+    checkpoint.save_model(tmp_dir, cfg.model_name(), rescaled, cfg.to_json())
+
+
+def load_online_matrix(output_base: str) -> np.ndarray:
+    """(n_places, n_cols) similarity matrix from the newest run's artifact
+    (the appender stores one (n_places,) row per sequence column)."""
+    run_dir = sorted(
+        os.path.join(output_base, d) for d in os.listdir(output_base)
+    )[-1]
+    return np.load(os.path.join(run_dir, "similarity_matrix.npy")).T
+
+
+def streaming_column_gt(GT: np.ndarray, tolerance: int, n_cols: int) -> np.ndarray:
+    """(n_places, n_cols) GT at matcher-column granularity: column m is
+    GT-positive for place p if p is tolerant-correct for ANY query bin in
+    [W*m, W*(m+1)) — see module docstring for why the offline sequence crop
+    does not apply online."""
+    GTd = dilate_gt(GT, tolerance).T.astype(bool)  # (n_places, n_query)
+    n_places, n_q = GTd.shape
+    W = QUERIES_PER_SEQUENCE
+    cols = np.zeros((n_places, n_cols), dtype=bool)
+    for m in range(n_cols):
+        lo, hi = W * m, min(W * (m + 1), n_q)
+        if lo < n_q:
+            cols[:, m] = GTd[:, lo:hi].any(axis=1)
+    return cols
+
+
+def online_recall(S_stream: np.ndarray, GT: np.ndarray, tolerance: int) -> list:
+    GTcols = streaming_column_gt(GT, tolerance, S_stream.shape[1])
+    return [round(recall_at_k(S_stream, GTcols, K=n), 2) for n in RECALL_NS]
+
+
+def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
+    off: LensConfig = cfgs["offline"]
+    stream: LensConfig = cfgs["stream"]
+
+    gt_path = os.path.join(
+        off.data_dir, off.dataset, off.camera,
+        f"{off.reference}_{off.query}_GT.npy",
+    )
+    GT = np.load(gt_path)
+
+    # --- online: synthesize the stream and run the full event-driven mode
+    from lens_tpu.runtime.stream import frame_source
+
+    frames, _ = frame_source(stream)
+    with tempfile.TemporaryDirectory() as tmp:
+        events = synthesize_events(
+            frames.astype(np.float64),
+            stream.timebin / 1000.0,
+            events_per_bin,
+            roi_origin=(stream.roi_x, stream.roi_y),
+            seed=seed,
+        )
+        stream_path = os.path.join(tmp, "stream.npy")
+        np.save(stream_path, events)
+        stream.event_file = stream_path
+        models_src = stream.models_dir
+        stream.models_dir = os.path.join(tmp, "models")
+        prepare_stream_model(stream, models_src, stream.models_dir)
+        t0 = time.perf_counter()
+        run_event_driven(stream)
+        stream_wall = time.perf_counter() - t0
+    S_stream = load_online_matrix(stream.output_base)
+    online = online_recall(S_stream, GT, stream.GT_tolerance)
+
+    # --- offline: the standard inference pipeline on the same traverse
+    res = run_inference(off)
+    offline = res.recall_at_n
+
+    # --- SAD baseline (offline; the reference's comparison row)
+    from lens_tpu.metrics.gt import make_gt_tolerant
+
+    GTtol = make_gt_tolerant(GT, off.sequence_length, off.GT_tolerance)
+    _, sad_recall = run_sad(
+        os.path.join(off.data_dir, off.dataset, off.camera, off.reference),
+        os.path.join(off.data_dir, off.dataset, off.camera, off.query),
+        GTtol,
+        res.output_folder,
+        off.sequence_length,
+        skip=off.filter,
+        n_ref=off.reference_places,
+        n_query=off.query_places,
+    )
+
+    n_bins = int(S_stream.shape[1]) * QUERIES_PER_SEQUENCE
+    return {
+        "traverse": name,
+        "model": off.model_name(""),
+        "events_per_bin": events_per_bin,
+        "timebin_ms": off.timebin,
+        "n_query_bins": n_bins,
+        "n_match_columns": int(S_stream.shape[1]),
+        "recall_ns": RECALL_NS,
+        "online": online,
+        "offline": offline,
+        "sad": sad_recall,
+        "online_minus_offline_at_1": round(online[0] - offline[0], 4),
+        "stream_wall_s": round(stream_wall, 1),
+    }
+
+
+def write_overlay_csv(path: str, report: dict) -> None:
+    """The reference's SADvLENS CSV (N,SAD,LENS), extended with the offline
+    LENS column so the online-vs-offline cost is visible in one artifact."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["N", "SAD", "LENS_offline", "LENS_online"])
+        for i, n in enumerate(report["recall_ns"]):
+            w.writerow(
+                [n, report["sad"][i], report["offline"][i], report["online"][i]]
+            )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Online-mode Recall@N benchmark")
+    p.add_argument("--traverse", default="all", choices=["example", "sunset", "all"])
+    p.add_argument("--events_per_bin", type=int, default=EVENTS_PER_BIN)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", default="", help="write the JSON report here")
+    p.add_argument("--csv_dir", default="", help="write overlay CSVs here")
+    p.add_argument("--out", default="", help="run output base (default: temp)")
+    args = p.parse_args(argv)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    out_base = args.out or tempfile.mkdtemp(prefix="online_recall_")
+    cfgs = traverse_configs(root, out_base)
+    names = ["example", "sunset"] if args.traverse == "all" else [args.traverse]
+
+    reports = []
+    for name in names:
+        rep = run_traverse(name, cfgs[name], args.events_per_bin, args.seed)
+        reports.append(rep)
+        print(
+            ascii_table(
+                ["N", *map(str, rep["recall_ns"])],
+                [
+                    ["LENS online", *rep["online"]],
+                    ["LENS offline", *rep["offline"]],
+                    ["SAD", *rep["sad"]],
+                ],
+            )
+        )
+        if args.csv_dir:
+            write_overlay_csv(
+                os.path.join(args.csv_dir, f"SAD_vs_LENS_online_{name}.csv"), rep
+            )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"reports": reports}, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

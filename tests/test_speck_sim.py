@@ -182,6 +182,55 @@ def test_reciprocal_spike_count_exact_at_multiples():
         np.testing.assert_array_equal(got.astype(np.int64), expect, err_msg=f"thr={thr}")
 
 
+def test_verified_recip_is_proven_exact():
+    """verified_recip returns only multipliers whose floor(v*m) equals
+    floor(v/thr) over the WHOLE claimed envelope — re-proven here against
+    integer division on boundary-adversarial grids, plus the kernel-level
+    property that _spikes(recip=...) matches the divide."""
+    import jax
+
+    from lens_tpu.ops.fused_forward import _spikes
+    from lens_tpu.runtime.speck_sim import verified_recip
+
+    for thr in (2, 3, 7, 10, 274, 2408, 32767):
+        v_max = 5_000_000
+        m = verified_recip(thr, v_max)
+        assert m is not None, f"thr={thr}: no verified multiplier found"
+        ks = np.arange(0, v_max // thr, max((v_max // thr) // 700, 1))
+        vs = []
+        for k in ks:
+            vs.extend((k * thr - 1, k * thr, k * thr + 1))
+        vs.extend(range(-3 * thr, 2 * thr))
+        v = np.asarray(sorted(set(vs)), np.float32)
+        v = v[(v >= -v_max) & (v <= v_max)]
+        expect = np.maximum(np.floor_divide(v.astype(np.int64), thr), 0)
+        got = np.asarray(
+            jax.jit(lambda x: _spikes(x, float(thr), recip=m))(v)
+        )
+        np.testing.assert_array_equal(
+            got.astype(np.int64), expect, err_msg=f"thr={thr}"
+        )
+
+
+def test_bundled_model_gets_verified_recips():
+    """The bundled example checkpoint's quantized form must qualify for the
+    fast one-multiply spike count on BOTH layers (this is the route the
+    --simulated_speck headline runs)."""
+    import os
+
+    from lens_tpu.runtime.speck_sim import quantized_pallas_recips
+    from lens_tpu.utils.checkpoint import load_model
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    params = load_model(
+        os.path.join(root, "lens", "models"),
+        "example-reference_LENS_IN100_FN200_DB100.pth",
+    )
+    qp = discretize(params, SpikeThresholds(), -1.0)
+    r_feat, r_out = quantized_pallas_recips(qp)
+    assert r_feat is not None and r_out is not None
+
+
 def test_int8_hoisted_route_bit_exact_fuzz():
     """The hoisted int8 MXU route must equal the int32 per-step scan
     bit-for-bit on random discretized models, including the streaming
