@@ -304,6 +304,72 @@ def sharded_quantized_counts(
     )
 
 
+_FLEET_PLACED_CACHE: dict = {}
+
+
+def sharded_fleet_step(
+    qparams,
+    rasters,  # (B, S, n_in) int — one completed bin per live session
+    v_feat,  # (B, n_feat) int32 membrane carries
+    v_out,  # (B, n_out) int32
+    mesh: Optional[Mesh] = None,
+):
+    """B concurrent robot streams advance one bin with the SESSION axis
+    sharded across 'data' — fleet serving beyond one chip's wave capacity.
+
+    The single-chip fleet path (runtime/serve.py) micro-batches sessions
+    through stream_forward_counts_carry_batched (a vmap: per-substep GEMMs
+    become (B, n_in) x (n_in, F) MXU work).  Here the same program runs
+    under a mesh with rasters/membranes placed P('data') and the quantized
+    weights replicated: XLA partitions the vmap's batch axis, so wave
+    capacity scales with the device count and no collectives appear inside
+    the scan (each session's recurrence is self-contained).
+
+    Each stream's result is BIT-IDENTICAL to its single-device
+    stream_forward_counts_carry chain (tests/test_sharding.py): sharding
+    the batch axis never restructures a reduction.  B pads to the 'data'
+    multiple with zero rasters + zero membranes (inert: zero drive on a
+    sub-threshold membrane fires nothing).
+
+    Returns (counts (B, n_out), v_feat', v_out', feat_totals (B,)) as host
+    arrays with the padding stripped.
+    """
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.stream import stream_forward_counts_carry_batched
+    from lens_tpu.utils.memo import id_memo
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    b = rasters.shape[0]
+    rasters_p = pad_to_multiple(np.asarray(rasters, np.int32), 0, n_data)
+    vf_p = pad_to_multiple(np.asarray(v_feat, np.int32), 0, n_data)
+    vo_p = pad_to_multiple(np.asarray(v_out, np.int32), 0, n_data)
+    placed = id_memo(
+        _FLEET_PLACED_CACHE,
+        (qparams.w_feat, qparams.w_out, mesh),
+        (int(qparams.thr_feat), int(qparams.thr_out)),
+        lambda: qparams._replace(
+            w_feat=replicate(mesh, qparams.w_feat),
+            w_out=replicate(mesh, qparams.w_out),
+        ),
+        max_entries=2,
+    )
+    with mesh:
+        counts, vf, vo, feats = stream_forward_counts_carry_batched(
+            placed,
+            shard_queries(mesh, jnp.asarray(rasters_p)),
+            shard_queries(mesh, jnp.asarray(vf_p)),
+            shard_queries(mesh, jnp.asarray(vo_p)),
+        )
+    return (
+        np.asarray(counts)[:b],
+        np.asarray(vf)[:b],
+        np.asarray(vo)[:b],
+        np.asarray(feats)[:b],
+    )
+
+
 def _place_sharded_counts(mesh, w_out, shard_params, intensities, u_thresh, forward):
     """Shared pad->shard->forward->strip driver for place-axis sharding:
     queries pad to the 'data' multiple, w_out's place axis pads to the

@@ -191,10 +191,18 @@ class _BinBatcher:
         for i, it in enumerate(its):
             vf[i] = it["sess"]["v_feat"]
             vo[i] = it["sess"]["v_out"]
-        counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
-            qp, jnp.asarray(rasters), jnp.asarray(vf), jnp.asarray(vo)
-        )
-        counts_np, vf_np, vo_np = jax.device_get((counts_b, vf_b, vo_b))
+        if len(jax.devices()) > 1:
+            # Fleet wave sharded over the mesh: session axis on 'data', so
+            # wave capacity scales with the device count (bit-exact vs the
+            # single-device batch — tests/test_sharding.py fleet test).
+            from lens_tpu.parallel.mesh import sharded_fleet_step
+
+            counts_np, vf_np, vo_np, _ = sharded_fleet_step(qp, rasters, vf, vo)
+        else:
+            counts_b, vf_b, vo_b, _ = stream_forward_counts_carry_batched(
+                qp, jnp.asarray(rasters), jnp.asarray(vf), jnp.asarray(vo)
+            )
+            counts_np, vf_np, vo_np = jax.device_get((counts_b, vf_b, vo_b))
         for i, it in enumerate(its):
             it["sess"]["v_feat"] = vf_np[i]
             it["sess"]["v_out"] = vo_np[i]

@@ -285,3 +285,41 @@ def test_make_mesh_validates_factorization():
         make_mesh(data=16)
     m = make_mesh(data=2)
     assert m is make_mesh(data=2)  # memoized: stable identity for caches
+
+
+def test_fleet_sessions_sharded_bit_exact(mesh):
+    """sharded_fleet_step (B streaming sessions, session axis on 'data')
+    must be bit-identical to each session's single-device
+    stream_forward_counts_carry chain across several carried bins —
+    including a session count that does not divide the mesh axis."""
+    from lens_tpu.parallel.mesh import sharded_fleet_step
+    from lens_tpu.runtime.speck_sim import QuantizedParams
+    from lens_tpu.runtime.stream import stream_forward_counts_carry
+
+    rng = np.random.default_rng(42)
+    n_in, n_feat, n_out, B, S, n_bins = 12, 16, 8, 11, 7, 3
+    qp = QuantizedParams(
+        w_feat=jnp.asarray(rng.integers(-5, 6, (n_in, n_feat)), jnp.int32),
+        w_out=jnp.asarray(rng.integers(-5, 6, (n_feat, n_out)), jnp.int32),
+        thr_feat=7, thr_out=3, minv_feat=-4, minv_out=-2,
+        scale_feat=1.0, scale_out=1.0,
+    )
+    streams = rng.integers(0, 4, (n_bins, B, S, n_in)).astype(np.int32)
+
+    # Reference: per-session single-device chains.
+    ref_counts = np.zeros((n_bins, B, n_out), np.int32)
+    for b in range(B):
+        vf = jnp.zeros((n_feat,), jnp.int32)
+        vo = jnp.zeros((n_out,), jnp.int32)
+        for i in range(n_bins):
+            c, vf, vo, _ = stream_forward_counts_carry(
+                qp, jnp.asarray(streams[i, b]), vf, vo
+            )
+            ref_counts[i, b] = np.asarray(c)
+
+    # Sharded fleet: one mesh program per bin, membranes threaded through.
+    vf = np.zeros((B, n_feat), np.int32)
+    vo = np.zeros((B, n_out), np.int32)
+    for i in range(n_bins):
+        counts, vf, vo, _ = sharded_fleet_step(qp, streams[i], vf, vo, mesh=mesh)
+        np.testing.assert_array_equal(counts, ref_counts[i])
