@@ -60,6 +60,86 @@ def accumulate_frames_device(
     )
 
 
+PACKED_SENTINEL = np.uint32(0xFFFFFFFF)  # padding word: scatters to discard
+
+
+def pack_center_events(bin_idx: np.ndarray, pix: np.ndarray, n_in: int) -> np.ndarray:
+    """Host-side packing of LUT-filtered AER events into one uint32 word per
+    event: (bin_idx * n_in + pix).  This is the wire format of the
+    AER-sparse ingest path (SURVEY §7's host->device transfer, beaten): at
+    on-chip densities only ~1-2% of sensor events hit the center-pixel grid
+    (the native ingest engine applies that LUT per event anyway —
+    native/lens_events.cpp), so a batch of query bins ships as a few
+    hundred KB of packed words instead of MBs of dense uint8 frames."""
+    return (
+        np.asarray(bin_idx, np.uint32) * np.uint32(n_in)
+        + np.asarray(pix, np.uint32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "n_in"))
+def packed_events_to_counts(
+    packed: jnp.ndarray,  # (N,) uint32 words bin*n_in+pix; PACKED_SENTINEL pads
+    n_bins: int,
+    n_in: int,
+) -> jnp.ndarray:
+    """Device-side expansion of packed center-pixel events into the
+    (n_bins, n_in) int32 count rasters the quantized streaming forward
+    consumes — one scatter-add, fusing with the forward when called inside
+    the same jit (see aer_counts_forward)."""
+    valid = packed != PACKED_SENTINEL
+    flat = jnp.where(valid, packed, n_bins * n_in)  # discard row
+    counts = jnp.zeros((n_bins * n_in + 1,), jnp.int32).at[flat].add(1)
+    return counts[: n_bins * n_in].reshape(n_bins, n_in)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "n_in", "steps", "thr", "minv")
+)
+def aer_counts_forward(
+    w_feat: jnp.ndarray,  # (n_in, n_feat) int32 quantized weights
+    w_out: jnp.ndarray,  # (n_feat, n_out) int32
+    packed: jnp.ndarray,  # (N,) uint32 packed events
+    n_bins: int,
+    n_in: int,
+    steps: int,
+    thr: tuple,  # (thr_feat, thr_out) static ints
+    minv: tuple,  # (minv_feat, minv_out)
+) -> jnp.ndarray:
+    """ONE device program: packed AER words -> scatter-expanded per-bin count
+    rasters -> quantized even-spread spiking forward -> (n_bins, n_out)
+    counts.  The batched offline analogue of the --event_driven bin loop
+    (reference run_model.py:164-227's simulated-speck evaluation, fed by
+    events instead of frames); the h2d payload is the packed word list.
+    """
+    from lens_tpu.core.iaf import iaf_step_int
+
+    counts_in = packed_events_to_counts(packed, n_bins, n_in)
+    c = counts_in.astype(jnp.float32)
+
+    def step(carry, t):
+        v2, v3, acc = carry
+        tf = t.astype(jnp.float32)
+        x = (jnp.floor(c * (tf + 1.0) / steps) - jnp.floor(c * tf / steps)).astype(
+            jnp.int32
+        )
+        h = jnp.dot(x, w_feat, preferred_element_type=jnp.int32)
+        v2, s2 = iaf_step_int(v2, h, thr[0], minv[0])
+        h2 = jnp.dot(s2, w_out, preferred_element_type=jnp.int32)
+        v3, s3 = iaf_step_int(v3, h2, thr[1], minv[1])
+        return (v2, v3, acc + s3), None
+
+    n_feat = w_feat.shape[1]
+    n_out = w_out.shape[1]
+    init = (
+        jnp.zeros((n_bins, n_feat), jnp.int32),
+        jnp.zeros((n_bins, n_out), jnp.int32),
+        jnp.zeros((n_bins, n_out), jnp.int32),
+    )
+    (_, _, acc), _ = jax.lax.scan(step, init, jnp.arange(steps))
+    return acc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_frames", "roi_x", "roi_y", "roi_w", "roi_h", "hot_thresh"),

@@ -67,7 +67,14 @@ def _spikes(
     (boundary rounding could differ from the divide) — the float path never
     uses it.  Fuzzed bit-exact against the int32 scan in
     tests/test_speck_sim.py (including engineered exact-multiple ties)."""
-    if recip is not None and thr != 1.0:
+    if recip is not None:
+        if thr == 1.0 or recip == 1.0:
+            # Exact identity — elide the multiply entirely.  Measured round
+            # 4: the VPU divide is multi-cycle even by the constant 1.0
+            # (quant kernel with verified recips ran 1.8x the float kernel
+            # in the same bench run), so the float route passes recip=1.0
+            # to take this branch.
+            return jnp.maximum(jnp.floor(v), 0.0)
         return jnp.maximum(jnp.floor(v * np.float32(recip)), 0.0)
     if not int_exact or thr == 1.0:
         return jnp.maximum(jnp.floor(v / thr), 0.0)
@@ -159,6 +166,15 @@ def forward_counts_pallas(
     membrane floor is scaled by its own discretization factor.
     """
     assert spike_thresholds.inp == 1.0, "input IAF elision needs threshold 1"
+    # Float-route divide elision: at threshold 1.0, floor(v/1.0) == floor(v)
+    # exactly, and the VPU divide is multi-cycle even by the constant 1.0
+    # (round 4: the quantized kernel with verified reciprocals measured 1.8x
+    # the divide-based float kernel in one bench run).  Only exact-identity
+    # cases take this path; non-unit float thresholds keep the true divide.
+    if recip_feat is None and spike_thresholds.feat == 1.0:
+        recip_feat = 1.0
+    if recip_out is None and spike_thresholds.out == 1.0:
+        recip_out = 1.0
     q, n_in = intensities.shape
     t_steps = u_thresh.shape[0]
     n_feat = params.w_feat.shape[1]

@@ -148,3 +148,51 @@ def test_device_binning_exact_at_epoch_timestamps():
     )
     assert host.shape[0] == 5  # one event per bin — f32 would collapse them
     np.testing.assert_array_equal(dev, host)
+
+
+def test_packed_aer_ingest_matches_dense_counts():
+    """The AER-sparse ingest path (pack_center_events -> device scatter ->
+    quantized forward) must equal the dense path: same counts matrix and
+    the SAME spike counts as stream_forward_counts on the dense (Q, n_in)
+    matrix — including sentinel padding words."""
+    import jax.numpy as jnp
+
+    from lens_tpu.ops.events_device import (
+        PACKED_SENTINEL,
+        aer_counts_forward,
+        pack_center_events,
+        packed_events_to_counts,
+    )
+    from lens_tpu.runtime.speck_sim import QuantizedParams
+    from lens_tpu.runtime.stream import stream_forward_counts
+
+    rng = np.random.default_rng(3)
+    n_bins, n_in, n_feat, n_out, steps = 6, 9, 12, 5, 10
+    dense = rng.integers(0, 7, (n_bins, n_in)).astype(np.int64)
+
+    bins, pix = np.nonzero(dense)
+    bins = np.repeat(bins, dense[bins, pix])
+    pix_r = np.repeat(pix, dense[np.nonzero(dense)])
+    packed = pack_center_events(bins, pix_r, n_in)
+    packed = np.concatenate(
+        [packed, np.full(5, PACKED_SENTINEL, np.uint32)]
+    )  # padding words must be inert
+    got = np.asarray(packed_events_to_counts(jnp.asarray(packed), n_bins, n_in))
+    np.testing.assert_array_equal(got, dense)
+
+    qp = QuantizedParams(
+        w_feat=jnp.asarray(rng.integers(-4, 5, (n_in, n_feat)), jnp.int32),
+        w_out=jnp.asarray(rng.integers(-4, 5, (n_feat, n_out)), jnp.int32),
+        thr_feat=5, thr_out=2, minv_feat=-3, minv_out=-1,
+        scale_feat=1.0, scale_out=1.0,
+    )
+    ref = np.asarray(
+        stream_forward_counts(qp, jnp.asarray(dense, jnp.int32), steps)
+    )
+    fused = np.asarray(
+        aer_counts_forward(
+            qp.w_feat, qp.w_out, jnp.asarray(packed), n_bins, n_in, steps,
+            (5, 2), (-3, -1),
+        )
+    )
+    np.testing.assert_array_equal(fused, ref)
