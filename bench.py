@@ -146,7 +146,16 @@ def section_headline(result: dict) -> None:
     batches = _roll_batches(intens_np, ITERS)
     warm = np.asarray(best_forward(params, intens, u))  # compile + warm
     assert warm.shape == (BENCH_QUERIES, 100)
-    _ = [np.asarray(best_forward(params, b, u)) for b in batches[:2]]  # settle
+    # Completion fence: a device-side scalar reduction fetched as 4 bytes.
+    # Fetching the full (1024, 100) result (400 KB, ~8 ms through the
+    # ~50 MB/s tunnel) inside the window was fine when the kernel ran
+    # ~4 ms/dispatch; at the round-4 ~2.5 ms it distorts the measurement by
+    # ~30% — a transport artifact of this container, not chip behavior
+    # (PCIe moves 400 KB in ~25 us).  The fence cannot elide work: counts
+    # pass through the nonlinear IAF recurrences.
+    fence = jax.jit(lambda x: x.sum())
+    assert float(np.asarray(fence(warm))) > 0
+    _ = [np.asarray(fence(best_forward(params, b, u))) for b in batches[:2]]
 
     # Median-of-RUNS protocol (round-4 verdict ask #8): R independent
     # measurement passes, each the median of 3 windows, separated by a
@@ -160,11 +169,10 @@ def section_headline(result: dict) -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             outs = [best_forward(params, b, u) for b in batches]
-            mid = np.asarray(outs[ITERS // 2])
-            last = np.asarray(outs[-1])
+            mid = float(np.asarray(fence(outs[ITERS // 2])))
+            last = float(np.asarray(fence(outs[-1])))
             dt = time.perf_counter() - t0
-            assert mid.shape == last.shape == (BENCH_QUERIES, 100)
-            assert mid.sum() > 0 and last.sum() > 0
+            assert mid > 0 and last > 0
             rates.append(BENCH_QUERIES * ITERS / dt)
         pass_medians.append(float(np.median(rates)))
         if r + 1 < runs:
@@ -231,13 +239,15 @@ def section_quant(result: dict) -> None:
         forward_counts_quantized_bucketed(qp, jnp.asarray(intens_np), u)
     )
     assert warm.shape == (BENCH_QUERIES, 100) and warm.sum() > 0
+    fence = jax.jit(lambda x: x.sum())  # same discipline as the headline
+    assert float(np.asarray(fence(jnp.asarray(warm)))) > 0
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [forward_counts_quantized_bucketed(qp, b, u) for b in batches]
-        last = np.asarray(outs[-1])
+        last = float(np.asarray(fence(outs[-1])))
         dt = time.perf_counter() - t0
-        assert last.sum() > 0
+        assert last > 0
         rates.append(BENCH_QUERIES * ITERS / dt)
     r_feat, r_out = quantized_pallas_recips(qp)
     result.update(
@@ -299,6 +309,17 @@ def section_aer(result: dict) -> None:
     thr = (int(qp.thr_feat), int(qp.thr_out))
     minv = (int(qp.minv_feat), int(qp.minv_out))
     t_steps = TIMEBIN if jax.default_backend() != "cpu" else 25
+    # Verified-reciprocal spike counts for this batch's actual count
+    # envelope: the per-(bin, pixel) maximum bounds the per-substep counts
+    # after even spreading (ceil(c/steps)); entries fall back to the exact
+    # integer floor-divide when the proof does not hold.
+    from lens_tpu.runtime.speck_sim import quantized_recips_for_counts
+
+    word_counts = np.bincount(
+        pack_center_events(bin_idx, pix, n_in).astype(np.int64)
+    )
+    pix_bin_max = int(word_counts.max(initial=1))
+    recips = quantized_recips_for_counts(qp, -(-pix_bin_max // t_steps))
 
     def make_batch(shift: int) -> jnp.ndarray:
         # Distinct batch per iteration: rotate the bin axis (cheap host work,
@@ -310,7 +331,8 @@ def section_aer(result: dict) -> None:
     payload_mb = warm_words.size * 4 / 1e6
     warm = np.asarray(
         aer_counts_forward(
-            qp.w_feat, qp.w_out, warm_words, n_bins, n_in, t_steps, thr, minv
+            qp.w_feat, qp.w_out, warm_words, n_bins, n_in, t_steps, thr, minv,
+            recips=recips,
         )
     )
     assert warm.shape == (n_bins, int(qp.w_out.shape[1]))
@@ -322,7 +344,8 @@ def section_aer(result: dict) -> None:
         words = make_batch(i + 1)  # pack + h2d inside the window
         outs.append(
             aer_counts_forward(
-                qp.w_feat, qp.w_out, words, n_bins, n_in, t_steps, thr, minv
+                qp.w_feat, qp.w_out, words, n_bins, n_in, t_steps, thr, minv,
+                recips=recips,
             )
         )
     last = np.asarray(outs[-1])
@@ -401,11 +424,13 @@ def section_sunset(result: dict) -> None:
     batches = _roll_batches(intens_np, 6)
     warm = np.asarray(best_forward(params, jnp.asarray(intens_np), u))
     assert warm.shape == (q, 641)
+    fence = jax.jit(lambda x: x.sum())  # same discipline as the headline
+    float(np.asarray(fence(jnp.asarray(warm))))
     t0 = time.perf_counter()
     outs = [best_forward(params, b, u) for b in batches]
-    last = np.asarray(outs[-1])
+    last = float(np.asarray(fence(outs[-1])))
     dt = time.perf_counter() - t0
-    assert last.sum() >= 0
+    assert last >= 0
     fps = q * len(batches) / dt
     flops = _flops_per_frame(49, 63, 641, t_steps)
     result.update(

@@ -42,6 +42,7 @@ def iaf_step_int(
     x: jnp.ndarray,
     threshold: jnp.ndarray,
     min_v_mem: Optional[jnp.ndarray] = None,
+    recip: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Integer IAF timestep for the quantized Speck simulator.
 
@@ -49,9 +50,24 @@ def iaf_step_int(
     chip's integer membrane state after DynapcnnNetwork(discretize=True)
     (reference run_model.py:165-168).  `floor(v/thr)` for positive thr is
     integer floor-division.
+
+    `recip` (optional fast path): a HOST-VERIFIED exact f32 reciprocal for
+    this threshold over the model's membrane envelope
+    (speck_sim.verified_recip — only passed when the exhaustive proof holds,
+    which requires |v| < 2^24 so the f32 cast is lossless).  The integer
+    divide becomes cast+multiply+floor (or just a max at threshold 1) —
+    bit-identical by the proof, and measurably cheaper than the VPU's
+    multi-cycle divide (BENCHMARKS.md round-4 kernel log).
     """
     v = v + x
-    spikes = jnp.maximum(jnp.floor_divide(v, threshold), 0)
+    if recip is None:
+        spikes = jnp.maximum(jnp.floor_divide(v, threshold), 0)
+    elif recip == 1.0:
+        spikes = jnp.maximum(v, 0)  # floor(v/1) clamped — no arithmetic
+    else:
+        spikes = jnp.maximum(
+            jnp.floor(v.astype(jnp.float32) * jnp.float32(recip)), 0.0
+        ).astype(v.dtype)
     v = v - spikes * threshold
     if min_v_mem is not None:
         v = jnp.maximum(v, min_v_mem)

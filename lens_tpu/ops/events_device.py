@@ -94,7 +94,8 @@ def packed_events_to_counts(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_bins", "n_in", "steps", "thr", "minv")
+    jax.jit,
+    static_argnames=("n_bins", "n_in", "steps", "thr", "minv", "recips"),
 )
 def aer_counts_forward(
     w_feat: jnp.ndarray,  # (n_in, n_feat) int32 quantized weights
@@ -105,6 +106,8 @@ def aer_counts_forward(
     steps: int,
     thr: tuple,  # (thr_feat, thr_out) static ints
     minv: tuple,  # (minv_feat, minv_out)
+    recips: tuple = (None, None),  # verified multipliers for the COUNT
+    # envelope (speck_sim.quantized_recips_for_counts) or None = floor-divide
 ) -> jnp.ndarray:
     """ONE device program: packed AER words -> scatter-expanded per-bin count
     rasters -> quantized even-spread spiking forward -> (n_bins, n_out)
@@ -124,9 +127,9 @@ def aer_counts_forward(
             jnp.int32
         )
         h = jnp.dot(x, w_feat, preferred_element_type=jnp.int32)
-        v2, s2 = iaf_step_int(v2, h, thr[0], minv[0])
+        v2, s2 = iaf_step_int(v2, h, thr[0], minv[0], recip=recips[0])
         h2 = jnp.dot(s2, w_out, preferred_element_type=jnp.int32)
-        v3, s3 = iaf_step_int(v3, h2, thr[1], minv[1])
+        v3, s3 = iaf_step_int(v3, h2, thr[1], minv[1], recip=recips[1])
         return (v2, v3, acc + s3), None
 
     n_feat = w_feat.shape[1]

@@ -269,6 +269,9 @@ def sharded_quantized_counts(
         intens = pad_to_multiple(
             np.asarray(intensities, np.float32), 0, mesh.shape["data"]
         )
+        from lens_tpu.runtime.speck_sim import quantized_pallas_recips
+
+        r_feat, r_out = quantized_pallas_recips(qparams)
         with mesh:
             counts = _quantized_hoisted_int8_jit(
                 placed[0],
@@ -279,6 +282,8 @@ def sharded_quantized_counts(
                 int(qparams.thr_out),
                 int(qparams.minv_feat),
                 int(qparams.minv_out),
+                recip_feat=r_feat,
+                recip_out=r_out,
             )
         return np.asarray(counts)[:q, :r]
 

@@ -301,6 +301,30 @@ def quantized_pallas_recips(
     return r_feat, r_out
 
 
+def quantized_recips_for_counts(
+    qparams: QuantizedParams, max_count_per_pixel_step: int
+) -> tuple:
+    """Verified reciprocals for INTEGER COUNT rasters (the AER/streaming
+    even-spread path), where a pixel may carry up to
+    `max_count_per_pixel_step` events in one substep (vs the binary rasters
+    quantized_pallas_recips assumes).  The drive bounds scale by that count:
+      drive1 <= k * max_j sum_i |w1_ij|
+      s2/step <= (thr1 - 1 + drive1) // thr1
+      drive2 <= s2 * max_k sum_j |w2_jk|
+    Entries are None when the scaled envelope exceeds the provable range —
+    callers then keep the exact integer floor-divide."""
+    k = max(int(max_count_per_pixel_step), 1)
+    w1 = np.abs(np.asarray(qparams.w_feat, np.int64))
+    w2 = np.abs(np.asarray(qparams.w_out, np.int64))
+    a1 = k * int(w1.sum(axis=0).max(initial=0))
+    thr1 = max(int(qparams.thr_feat), 1)
+    s2b = (thr1 - 1 + a1) // thr1
+    a2 = s2b * int(w2.sum(axis=0).max(initial=0))
+    r_feat = verified_recip(int(qparams.thr_feat), int(qparams.thr_feat) + a1)
+    r_out = verified_recip(int(qparams.thr_out), int(qparams.thr_out) + a2)
+    return r_feat, r_out
+
+
 def forward_counts_quantized_pallas(
     qparams: QuantizedParams,
     intensities: jnp.ndarray,
@@ -501,6 +525,7 @@ def forward_counts_quantized_int8(
         f"per-step feature spike bound {bound} exceeds int8; use "
         "forward_counts_quantized"
     )
+    r_feat, r_out = quantized_pallas_recips(qparams)
     return _quantized_hoisted_int8_jit(
         w_feat_i8,
         w_out_i8,
@@ -510,12 +535,17 @@ def forward_counts_quantized_int8(
         int(qparams.thr_out),
         int(qparams.minv_feat),
         int(qparams.minv_out),
+        recip_feat=r_feat,
+        recip_out=r_out,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("thr_feat", "thr_out", "minv_feat", "minv_out", "unroll"),
+    static_argnames=(
+        "thr_feat", "thr_out", "minv_feat", "minv_out", "unroll",
+        "recip_feat", "recip_out",
+    ),
 )
 def _quantized_hoisted_int8_jit(
     w_feat_i8,
@@ -527,6 +557,8 @@ def _quantized_hoisted_int8_jit(
     minv_feat: int,
     minv_out: int,
     unroll: int = 8,
+    recip_feat: Optional[float] = None,  # verified multipliers (or None =
+    recip_out: Optional[float] = None,  # integer floor-divide)
 ):
     q = intensities.shape[0]
     n_feat = w_feat_i8.shape[1]
@@ -535,7 +567,7 @@ def _quantized_hoisted_int8_jit(
     h = jnp.einsum("tqi,if->tqf", x, w_feat_i8, preferred_element_type=jnp.int32)
 
     def feat_step(v, h_t):
-        v, s = iaf_step_int(v, h_t, thr_feat, minv_feat)
+        v, s = iaf_step_int(v, h_t, thr_feat, minv_feat, recip=recip_feat)
         return v, s.astype(jnp.int8)  # exact: s <= the checked 127 bound
 
     _, s2 = jax.lax.scan(
@@ -546,7 +578,7 @@ def _quantized_hoisted_int8_jit(
 
     def out_step(carry, h_t):
         v, acc = carry
-        v, s = iaf_step_int(v, h_t, thr_out, minv_out)
+        v, s = iaf_step_int(v, h_t, thr_out, minv_out, recip=recip_out)
         return (v, acc + s), None
 
     (_, counts), _ = jax.lax.scan(

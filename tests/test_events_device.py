@@ -196,3 +196,39 @@ def test_packed_aer_ingest_matches_dense_counts():
         )
     )
     np.testing.assert_array_equal(fused, ref)
+
+
+def test_aer_forward_with_count_recips_bit_identical():
+    """aer_counts_forward with verified count-envelope reciprocals equals
+    the floor-divide form exactly (dense bins with multi-event pixels)."""
+    import jax.numpy as jnp
+
+    from lens_tpu.ops.events_device import aer_counts_forward, pack_center_events
+    from lens_tpu.runtime.speck_sim import (
+        QuantizedParams,
+        quantized_recips_for_counts,
+    )
+
+    rng = np.random.default_rng(21)
+    n_bins, n_in, n_feat, n_out, steps = 5, 8, 10, 6, 4
+    dense = rng.integers(0, 40, (n_bins, n_in)).astype(np.int64)
+    bins, pix = np.nonzero(dense)
+    counts = dense[bins, pix]
+    packed = pack_center_events(
+        np.repeat(bins, counts), np.repeat(pix, counts), n_in
+    )
+    qp = QuantizedParams(
+        w_feat=jnp.asarray(rng.integers(-90, 91, (n_in, n_feat)), jnp.int32),
+        w_out=jnp.asarray(rng.integers(-90, 91, (n_feat, n_out)), jnp.int32),
+        thr_feat=11, thr_out=3, minv_feat=-5, minv_out=-2,
+        scale_feat=1.0, scale_out=1.0,
+    )
+    k = -(-int(dense.max()) // steps)
+    recips = quantized_recips_for_counts(qp, k)
+    assert recips[0] is not None and recips[1] is not None
+    args = (qp.w_feat, qp.w_out, jnp.asarray(packed), n_bins, n_in, steps,
+            (11, 3), (-5, -2))
+    ref = np.asarray(aer_counts_forward(*args))
+    fast = np.asarray(aer_counts_forward(*args, recips=recips))
+    assert ref.sum() != 0
+    np.testing.assert_array_equal(fast, ref)

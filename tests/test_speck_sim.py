@@ -437,3 +437,29 @@ def test_int8_view_cache_keys_on_full_dependencies():
     qp3 = qp1._replace(w_out=jnp.full((8, 4), 9, jnp.int32))
     assert int(np.asarray(_int8_views(qp3)[0]).max()) == 4
     assert int(np.asarray(_int8_views(qp3)[1]).max()) == 9  # not qp1's w_out
+
+
+def test_iaf_step_int_recip_bit_identical():
+    """iaf_step_int with a verified reciprocal (incl. the recip==1 shortcut)
+    must equal the floor-divide form over adversarial drives: boundary
+    multiples, negatives, and the minv clamp interacting with the carry."""
+    import jax.numpy as jnp
+
+    from lens_tpu.core.iaf import iaf_step_int
+    from lens_tpu.runtime.speck_sim import verified_recip
+
+    rng = np.random.default_rng(11)
+    for thr in (1, 2, 7, 2184):
+        m = verified_recip(thr, 1_000_000)
+        assert m is not None
+        v_ref = jnp.zeros((64,), jnp.int32)
+        v_fast = jnp.zeros((64,), jnp.int32)
+        for step in range(30):
+            x = rng.integers(-3 * thr, 4 * thr, 64).astype(np.int32)
+            x[:8] = (rng.integers(0, 5, 8) * thr).astype(np.int32)  # exact multiples
+            v_ref, s_ref = iaf_step_int(v_ref, jnp.asarray(x), thr, -thr)
+            v_fast, s_fast = iaf_step_int(
+                v_fast, jnp.asarray(x), thr, -thr, recip=m
+            )
+            np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_fast))
+            np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_fast))
