@@ -211,6 +211,26 @@ def section_headline(result: dict) -> None:
             "the [value_min, value_max] band are environment, not code",
         }
     )
+    # Informational large-dispatch row: Q=4096 per dispatch (grid=4 in the
+    # same compiled kernel family) amortizes the per-dispatch Python+relay
+    # overhead that the fixed Q=1024 headline still pays at round-4 kernel
+    # speeds (measured +34%: 481k -> 643k under a calm tunnel).  The
+    # headline batch stays 1024 for cross-round comparability.
+    if backend != "cpu":
+        q4 = 4 * BENCH_QUERIES
+        reps4 = -(-q4 // len(ds))
+        intens4 = np.tile(ds.query_intensities_downsampled(10), (reps4, 1))[:q4]
+        b4 = [jnp.asarray(np.roll(intens4, i + 1, axis=0)) for i in range(8)]
+        out = best_forward(params, b4[0], u)
+        assert float(np.asarray(fence(out))) > 0
+        meds = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [best_forward(params, b, u) for b in b4]
+            float(np.asarray(fence(outs[-1])))
+            meds.append(q4 * len(b4) / (time.perf_counter() - t0))
+        result["q4096_frames_per_sec"] = round(float(np.median(meds)), 1)
+
     result["_params"] = params  # reused by the uint8/quant/aer sections
     result["_ds"] = ds
     result["_u"] = u
