@@ -143,19 +143,16 @@ def online_recall(S_stream: np.ndarray, GT: np.ndarray, tolerance: int) -> list:
     return [round(recall_at_k(S_stream, GTcols, K=n), 2) for n in RECALL_NS]
 
 
-def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
-    off: LensConfig = cfgs["offline"]
-    stream: LensConfig = cfgs["stream"]
+def run_stream_once(
+    stream: LensConfig, GT: np.ndarray, events_per_bin: int, seed: int
+) -> dict:
+    """One full --event_driven replay at the given density; returns the
+    scored online Recall@N row."""
+    from dataclasses import replace
 
-    gt_path = os.path.join(
-        off.data_dir, off.dataset, off.camera,
-        f"{off.reference}_{off.query}_GT.npy",
-    )
-    GT = np.load(gt_path)
-
-    # --- online: synthesize the stream and run the full event-driven mode
     from lens_tpu.runtime.stream import frame_source
 
+    stream = replace(stream)
     frames, _ = frame_source(stream)
     with tempfile.TemporaryDirectory() as tmp:
         events = synthesize_events(
@@ -175,7 +172,30 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
         run_event_driven(stream)
         stream_wall = time.perf_counter() - t0
     S_stream = load_online_matrix(stream.output_base)
-    online = online_recall(S_stream, GT, stream.GT_tolerance)
+    return {
+        "events_per_bin": events_per_bin,
+        "online": online_recall(S_stream, GT, stream.GT_tolerance),
+        "n_match_columns": int(S_stream.shape[1]),
+        "stream_wall_s": round(stream_wall, 1),
+        "_matrix": S_stream,
+    }
+
+
+def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
+    off: LensConfig = cfgs["offline"]
+    stream: LensConfig = cfgs["stream"]
+
+    gt_path = os.path.join(
+        off.data_dir, off.dataset, off.camera,
+        f"{off.reference}_{off.query}_GT.npy",
+    )
+    GT = np.load(gt_path)
+
+    # --- online: synthesize the stream and run the full event-driven mode
+    srun = run_stream_once(stream, GT, events_per_bin, seed)
+    S_stream = srun["_matrix"]
+    online = srun["online"]
+    stream_wall = srun["stream_wall_s"]
 
     # --- offline: the standard inference pipeline on the same traverse
     res = run_inference(off)
@@ -209,7 +229,7 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
         "offline": offline,
         "sad": sad_recall,
         "online_minus_offline_at_1": round(online[0] - offline[0], 4),
-        "stream_wall_s": round(stream_wall, 1),
+        "stream_wall_s": stream_wall,
     }
 
 
@@ -230,6 +250,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Online-mode Recall@N benchmark")
     p.add_argument("--traverse", default="all", choices=["example", "sunset", "all"])
     p.add_argument("--events_per_bin", type=int, default=EVENTS_PER_BIN)
+    p.add_argument(
+        "--densities",
+        default="",
+        help="comma list of extra events/bin values: run an online-accuracy "
+        "density sweep on the example traverse (the chip's operating "
+        "variable — reference hardware logs ~1e5 events/s)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", default="", help="write the JSON report here")
     p.add_argument("--csv_dir", default="", help="write overlay CSVs here")
@@ -259,9 +286,28 @@ def main(argv=None) -> int:
             write_overlay_csv(
                 os.path.join(args.csv_dir, f"SAD_vs_LENS_online_{name}.csv"), rep
             )
+    payload = {"reports": reports}
+    if args.densities:
+        gt_path = os.path.join(
+            cfgs["example"]["offline"].data_dir, "example", "davis128",
+            "example-reference_example-query_GT.npy",
+        )
+        GT = np.load(gt_path)
+        sweep = []
+        for d in [int(x) for x in args.densities.split(",") if x.strip()]:
+            row = run_stream_once(cfgs["example"]["stream"], GT, d, args.seed)
+            row.pop("_matrix")
+            sweep.append(row)
+        payload["density_sweep_example"] = sweep
+        print(
+            ascii_table(
+                ["events/bin", *map(str, RECALL_NS)],
+                [[r["events_per_bin"], *r["online"]] for r in sweep],
+            )
+        )
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"reports": reports}, f, indent=2)
+            json.dump(payload, f, indent=2)
     return 0
 
 
