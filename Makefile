@@ -43,7 +43,8 @@ stream:
 # Refreshes STREAM_RECALL.json + lens/data/online/*.csv.
 online-recall:
 	python -m lens_tpu.tools.online_recall --traverse all \
-		--json STREAM_RECALL.json --csv_dir lens/data/online
+		--json STREAM_RECALL.json --csv_dir lens/data/online \
+		--densities 2000,5000,50000
 
 dryrun:
 	python __graft_entry__.py --dryrun
