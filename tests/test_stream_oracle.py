@@ -257,3 +257,86 @@ def test_batched_fleet_sessions_match_torch_oracle():
         got.append(np.asarray(counts))
     got = np.stack(got, axis=1)  # (B, bins, n_out)
     np.testing.assert_array_equal(got.astype(np.int64), oracle)
+
+
+def test_native_cpp_session_rasters_match_oracle():
+    """The C++ ingest engine (events_native.StreamSession) against the
+    INDEPENDENT oracle: per-bin event-time rasters from the native ring —
+    LUT mapping, ROI crop, substep placement, earliest-kept hot cap — must
+    equal oracle_place_events bin for bin, and the network counts driven
+    from them must match the torch stream loop.  This closes the last
+    cross-validation gap: the C++ engine was previously checked only
+    against the same-author numpy fallback."""
+    from lens_tpu.runtime import events_native
+
+    rng = np.random.default_rng(1234)
+    roi, dims = 8, 4
+    timebin_s, substeps, n_bins = 0.25, 10, 5
+    hot_cap = 4
+    rx, ry = 3, 2  # ROI origin in sensor coords
+
+    # LUT: center-pixel mapping for an 8x8 ROI down to 4x4 inputs.
+    from lens_tpu.runtime.stream import center_pixel_lut
+
+    lut = center_pixel_lut(roi, dims).astype(np.int32)
+    n_in = dims * dims
+
+    n_ev = 600
+    t = np.sort(rng.uniform(0.0, n_bins * timebin_s, n_ev))
+    t[0] = 0.0  # anchor t0 exactly
+    # Sensor coords: mostly inside the ROI, some outside (must be dropped).
+    x = rng.integers(rx - 2, rx + roi + 2, n_ev).astype(np.int64)
+    y = rng.integers(ry - 2, ry + roi + 2, n_ev).astype(np.int64)
+    # A hot pixel inside the ROI that saturates the cap.
+    hot = rng.random(n_ev) < 0.3
+    x[hot], y[hot] = rx + 1, ry + 1
+
+    sess = events_native.StreamSession(
+        timebin_s, lut, substeps=substeps, roi_origin=(rx, ry),
+        hot_cap=hot_cap, n_in=n_in,
+    )
+    assert sess._handle is not None, "native C++ engine not loaded"
+    try:
+        # Feed in several chunks (exercises the ring across feed boundaries).
+        for lo in range(0, n_ev, 113):
+            hi = min(lo + 113, n_ev)
+            sess.feed(
+                t[lo:hi], x[lo:hi].astype(np.uint16), y[lo:hi].astype(np.uint16)
+            )
+        sess.flush()
+        native_rasters = []
+        while (out := sess.poll()) is not None:
+            native_rasters.append(np.asarray(out[1], np.int64))
+    finally:
+        sess.close()
+
+    # Oracle: ROI-filter + LUT + per-bin independent placement.  The bin
+    # grid anchors at the first IN-ROI event (the engine's and
+    # aer_bin_source's shared contract — t0 is set when the first event
+    # survives the ROI crop, before the LUT).
+    xr, yr = x - rx, y - ry
+    keep = (xr >= 0) & (xr < roi) & (yr >= 0) & (yr < roi)
+    tk, xk, yk = t[keep], xr[keep], yr[keep]
+    t0 = tk[0]
+    pix = lut[yk, xk]
+    hit = pix >= 0
+    tk, pix = tk[hit] - t0, pix[hit]
+    bins = np.floor(tk / timebin_s).astype(np.int64)
+    oracle_rasters = []
+    for b in range(int(bins.max()) + 1):
+        m = bins == b
+        oracle_rasters.append(
+            oracle_place_events(
+                tk[m] - b * timebin_s, pix[m], timebin_s, substeps, n_in, hot_cap
+            )
+        )
+
+    assert len(native_rasters) == len(oracle_rasters)
+    for b, (a, o) in enumerate(zip(native_rasters, oracle_rasters)):
+        np.testing.assert_array_equal(a, o, err_msg=f"bin {b}")
+
+    # And the network counts from the native rasters == the torch loop.
+    qp = random_qparams(np.random.default_rng(7), n_in, 12, 6)
+    ours, _, _ = chain_carry(qp, native_rasters)
+    oracle_counts = torch_stream_counts(qp, oracle_rasters)
+    np.testing.assert_array_equal(ours.astype(np.int64), oracle_counts)
