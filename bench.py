@@ -92,6 +92,14 @@ from lens_tpu.ops.fused_forward import best_forward  # noqa: E402
 from lens_tpu.ops.raster import make_thresholds  # noqa: E402
 from lens_tpu.utils import checkpoint  # noqa: E402
 
+# Completion fence shared by every throughput section: a device-side
+# scalar reduction fetched as 4 bytes.  Fetching full result matrices
+# through the ~50 MB/s tunnel inside timed windows distorted round-3
+# numbers (headline ~30%, large ~4x); the fence cannot elide work — counts
+# pass through the nonlinear IAF recurrences.  One jit wrapper so every
+# section shares its compilation cache.
+_FENCE = jax.jit(lambda x: x.sum())
+
 BASELINE_FRAMES_PER_SEC = 10_000.0
 BENCH_QUERIES = 1024  # fixed shape => compilation cache hit across runs
 TIMEBIN = 250
@@ -146,14 +154,7 @@ def section_headline(result: dict) -> None:
     batches = _roll_batches(intens_np, ITERS)
     warm = np.asarray(best_forward(params, intens, u))  # compile + warm
     assert warm.shape == (BENCH_QUERIES, 100)
-    # Completion fence: a device-side scalar reduction fetched as 4 bytes.
-    # Fetching the full (1024, 100) result (400 KB, ~8 ms through the
-    # ~50 MB/s tunnel) inside the window was fine when the kernel ran
-    # ~4 ms/dispatch; at the round-4 ~2.5 ms it distorts the measurement by
-    # ~30% — a transport artifact of this container, not chip behavior
-    # (PCIe moves 400 KB in ~25 us).  The fence cannot elide work: counts
-    # pass through the nonlinear IAF recurrences.
-    fence = jax.jit(lambda x: x.sum())
+    fence = _FENCE  # shared scalar fence (see module comment)
     assert float(np.asarray(fence(warm))) > 0
     _ = [np.asarray(fence(best_forward(params, b, u))) for b in batches[:2]]
 
@@ -259,7 +260,7 @@ def section_quant(result: dict) -> None:
         forward_counts_quantized_bucketed(qp, jnp.asarray(intens_np), u)
     )
     assert warm.shape == (BENCH_QUERIES, 100) and warm.sum() > 0
-    fence = jax.jit(lambda x: x.sum())  # same discipline as the headline
+    fence = _FENCE
     assert float(np.asarray(fence(jnp.asarray(warm)))) > 0
     rates = []
     for _ in range(3):
@@ -269,15 +270,37 @@ def section_quant(result: dict) -> None:
         dt = time.perf_counter() - t0
         assert last > 0
         rates.append(BENCH_QUERIES * ITERS / dt)
-    r_feat, r_out = quantized_pallas_recips(qp)
+    # Label the route the dispatcher ACTUALLY took (mirrors the predicate
+    # in forward_counts_quantized_bucketed), not just recip availability.
+    from lens_tpu.ops.fused_forward import (
+        _PALLAS_VMEM_BUDGET_BYTES,
+        kernel_vmem_bytes,
+        pallas_available,
+    )
+    from lens_tpu.runtime.speck_sim import (
+        quantized_int8_ok,
+        quantized_pallas_exact_ok,
+    )
+
+    fits = kernel_vmem_bytes(
+        intens_np.shape[1], qp.w_feat.shape[1], qp.w_out.shape[1],
+        u.shape[0], 1024,
+    ) <= _PALLAS_VMEM_BUDGET_BYTES
+    if pallas_available() and fits and quantized_pallas_exact_ok(qp, u.shape[0]):
+        r_feat, r_out = quantized_pallas_recips(qp)
+        route = (
+            "pallas_verified_recip"
+            if (r_feat is not None and r_out is not None)
+            else "pallas_corrected_recip"
+        )
+    elif quantized_int8_ok(qp):
+        route = "int8_hoisted"
+    else:
+        route = "int32_scan"
     result.update(
         {
             "quant_frames_per_sec": round(float(np.median(rates)), 1),
-            "quant_route": (
-                "pallas_verified_recip"
-                if (r_feat is not None and r_out is not None)
-                else "pallas_corrected_recip"
-            ),
+            "quant_route": route,
         }
     )
 
@@ -324,10 +347,7 @@ def section_aer(result: dict) -> None:
     )
     pix_all = np.tile(pix, reps)
     n_in = 100
-    sensor_events_per_batch = events_per_bin * n_bins
     qp = discretize(params, SpikeThresholds(), -1.0)
-    thr = (int(qp.thr_feat), int(qp.thr_out))
-    minv = (int(qp.minv_feat), int(qp.minv_out))
     t_steps = TIMEBIN if jax.default_backend() != "cpu" else 25
     # Verified-reciprocal spike counts for this batch's actual count
     # envelope: the per-(bin, pixel) maximum bounds the per-substep counts
@@ -350,27 +370,25 @@ def section_aer(result: dict) -> None:
     warm_words = make_batch(0)
     payload_mb = warm_words.size * 4 / 1e6
     warm = np.asarray(
-        aer_counts_forward(
-            qp.w_feat, qp.w_out, warm_words, n_bins, n_in, t_steps, thr, minv,
-            recips=recips,
-        )
+        aer_counts_forward(qp, warm_words, n_bins, n_in, t_steps, recips=recips)
     )
     assert warm.shape == (n_bins, int(qp.w_out.shape[1]))
     assert warm.sum() > 0
+    assert float(np.asarray(_FENCE(jnp.asarray(warm)))) > 0  # warm the fence
     iters = 6
     t0 = time.perf_counter()
     outs = []
     for i in range(iters):
         words = make_batch(i + 1)  # pack + h2d inside the window
         outs.append(
-            aer_counts_forward(
-                qp.w_feat, qp.w_out, words, n_bins, n_in, t_steps, thr, minv,
-                recips=recips,
-            )
+            aer_counts_forward(qp, words, n_bins, n_in, t_steps, recips=recips)
         )
-    last = np.asarray(outs[-1])
+    # Same scalar-fence discipline as every other section (fetching the
+    # full result matrix inside the window is the tunnel artifact this
+    # round eliminated).
+    last = float(np.asarray(_FENCE(outs[-1])))
     dt = time.perf_counter() - t0
-    assert last.sum() > 0
+    assert last > 0
     fps = n_bins * iters / dt
     result.update(
         {
@@ -379,11 +397,15 @@ def section_aer(result: dict) -> None:
             "aer_center_events_per_batch": int(warm_words.size),
             "aer_h2d_mb_per_batch": round(payload_mb, 3),
             "aer_note": (
-                f"packed AER ingest: {sensor_events_per_batch/1e6:.1f}M "
-                f"sensor events/batch LUT-filter to {warm_words.size/1e3:.0f}k "
-                f"center-pixel words ({payload_mb:.2f} MB h2d vs 6.55 MB "
-                "dense); device scatter + quantized even-spread forward in "
-                "one program"
+                f"packed AER ingest: each batch ships "
+                f"{warm_words.size/1e3:.0f}k center-pixel words "
+                f"({payload_mb:.2f} MB h2d vs 6.55 MB dense) for "
+                f"{n_bins} bins at {events_per_bin} sensor events/bin; "
+                "the timed loop covers pack + h2d + device scatter + "
+                "quantized forward in one program.  The per-event LUT "
+                "filter (~1.6% of sensor events hit the center grid) runs "
+                "at ingest, outside this loop — in deployment it is the "
+                "native engine's streaming job, amortized over arrival"
             ),
         }
     )
@@ -444,7 +466,7 @@ def section_sunset(result: dict) -> None:
     batches = _roll_batches(intens_np, 6)
     warm = np.asarray(best_forward(params, jnp.asarray(intens_np), u))
     assert warm.shape == (q, 641)
-    fence = jax.jit(lambda x: x.sum())  # same discipline as the headline
+    fence = _FENCE
     float(np.asarray(fence(jnp.asarray(warm))))
     t0 = time.perf_counter()
     outs = [best_forward(params, b, u) for b in batches]
@@ -571,7 +593,7 @@ def section_large(result: dict) -> None:
     u = jnp.asarray(make_thresholds("jax", t_steps, n_in))
     flops = _flops_per_frame(n_in, n_feat, n_out, t_steps)
     batches = _roll_batches(intens_np, iters)
-    fence = jax.jit(lambda x: x.sum())
+    fence = _FENCE
     qp = discretize(params, SpikeThresholds(), -1.0)
 
     def measure(f) -> float:

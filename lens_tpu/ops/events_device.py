@@ -94,18 +94,14 @@ def packed_events_to_counts(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("n_bins", "n_in", "steps", "thr", "minv", "recips"),
+    jax.jit, static_argnames=("n_bins", "n_in", "steps", "recips")
 )
 def aer_counts_forward(
-    w_feat: jnp.ndarray,  # (n_in, n_feat) int32 quantized weights
-    w_out: jnp.ndarray,  # (n_feat, n_out) int32
+    qparams,  # speck_sim.QuantizedParams
     packed: jnp.ndarray,  # (N,) uint32 packed events
     n_bins: int,
     n_in: int,
     steps: int,
-    thr: tuple,  # (thr_feat, thr_out) static ints
-    minv: tuple,  # (minv_feat, minv_out)
     recips: tuple = (None, None),  # verified multipliers for the COUNT
     # envelope (speck_sim.quantized_recips_for_counts) or None = floor-divide
 ) -> jnp.ndarray:
@@ -114,33 +110,15 @@ def aer_counts_forward(
     counts.  The batched offline analogue of the --event_driven bin loop
     (reference run_model.py:164-227's simulated-speck evaluation, fed by
     events instead of frames); the h2d payload is the packed word list.
+
+    The forward IS runtime/stream.stream_forward_counts (one recurrence
+    definition, composed under this jit so scatter + forward fuse into a
+    single dispatch) — only the input expansion lives here.
     """
-    from lens_tpu.core.iaf import iaf_step_int
+    from lens_tpu.runtime.stream import stream_forward_counts
 
     counts_in = packed_events_to_counts(packed, n_bins, n_in)
-    c = counts_in.astype(jnp.float32)
-
-    def step(carry, t):
-        v2, v3, acc = carry
-        tf = t.astype(jnp.float32)
-        x = (jnp.floor(c * (tf + 1.0) / steps) - jnp.floor(c * tf / steps)).astype(
-            jnp.int32
-        )
-        h = jnp.dot(x, w_feat, preferred_element_type=jnp.int32)
-        v2, s2 = iaf_step_int(v2, h, thr[0], minv[0], recip=recips[0])
-        h2 = jnp.dot(s2, w_out, preferred_element_type=jnp.int32)
-        v3, s3 = iaf_step_int(v3, h2, thr[1], minv[1], recip=recips[1])
-        return (v2, v3, acc + s3), None
-
-    n_feat = w_feat.shape[1]
-    n_out = w_out.shape[1]
-    init = (
-        jnp.zeros((n_bins, n_feat), jnp.int32),
-        jnp.zeros((n_bins, n_out), jnp.int32),
-        jnp.zeros((n_bins, n_out), jnp.int32),
-    )
-    (_, _, acc), _ = jax.lax.scan(step, init, jnp.arange(steps))
-    return acc
+    return stream_forward_counts(qparams, counts_in, steps, recips=recips)
 
 
 @functools.partial(

@@ -353,7 +353,13 @@ def sharded_fleet_step(
     placed = id_memo(
         _FLEET_PLACED_CACHE,
         (qparams.w_feat, qparams.w_out, mesh),
-        (int(qparams.thr_feat), int(qparams.thr_out)),
+        # Scalar key carries EVERY non-weight field the cached value embeds:
+        # a _replace'd qparams sharing weight buffers but differing in a
+        # membrane floor must miss, not silently serve the old floor.
+        (
+            int(qparams.thr_feat), int(qparams.thr_out),
+            int(qparams.minv_feat), int(qparams.minv_out),
+        ),
         lambda: qparams._replace(
             w_feat=replicate(mesh, qparams.w_feat),
             w_out=replicate(mesh, qparams.w_out),

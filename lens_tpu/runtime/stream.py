@@ -250,9 +250,12 @@ def center_pixel_lut(roi_dim: int, dims: int) -> np.ndarray:
     return lut
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(jax.jit, static_argnames=("steps", "recips"))
 def stream_forward_counts(
-    qparams: QuantizedParams, counts_in: jnp.ndarray, steps: int
+    qparams: QuantizedParams,
+    counts_in: jnp.ndarray,
+    steps: int,
+    recips: Tuple[Optional[float], Optional[float]] = (None, None),
 ) -> jnp.ndarray:
     """Quantized forward for one bin of *event counts* (not intensities).
 
@@ -261,6 +264,12 @@ def stream_forward_counts(
     steps (deterministic raster: step t carries
     floor(c*(t+1)/steps) - floor(c*t/steps) spikes), preserving total input
     counts exactly.  counts_in: (Q, n_in) int32.  Returns (Q, n_out) int32.
+
+    `recips`: optional host-verified exact reciprocals for the COUNT
+    envelope (speck_sim.quantized_recips_for_counts) — bit-identical to the
+    default floor-divide, cheaper on the VPU.  The batched AER ingest path
+    (ops/events_device.aer_counts_forward) composes this function under one
+    jit with the packed-event scatter.
     """
     q, n_in = counts_in.shape
     n_feat = qparams.w_feat.shape[1]
@@ -277,9 +286,13 @@ def stream_forward_counts(
             jnp.int32
         )
         h = jnp.dot(x, wf, preferred_element_type=jnp.int32)
-        v2, s2 = iaf_step_int(v2, h, qparams.thr_feat, qparams.minv_feat)
+        v2, s2 = iaf_step_int(
+            v2, h, qparams.thr_feat, qparams.minv_feat, recip=recips[0]
+        )
         h2 = jnp.dot(s2, wo, preferred_element_type=jnp.int32)
-        v3, s3 = iaf_step_int(v3, h2, qparams.thr_out, qparams.minv_out)
+        v3, s3 = iaf_step_int(
+            v3, h2, qparams.thr_out, qparams.minv_out, recip=recips[1]
+        )
         return (v2, v3, acc + s3), None
 
     init = (

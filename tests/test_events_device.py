@@ -190,10 +190,7 @@ def test_packed_aer_ingest_matches_dense_counts():
         stream_forward_counts(qp, jnp.asarray(dense, jnp.int32), steps)
     )
     fused = np.asarray(
-        aer_counts_forward(
-            qp.w_feat, qp.w_out, jnp.asarray(packed), n_bins, n_in, steps,
-            (5, 2), (-3, -1),
-        )
+        aer_counts_forward(qp, jnp.asarray(packed), n_bins, n_in, steps)
     )
     np.testing.assert_array_equal(fused, ref)
 
@@ -226,8 +223,7 @@ def test_aer_forward_with_count_recips_bit_identical():
     k = -(-int(dense.max()) // steps)
     recips = quantized_recips_for_counts(qp, k)
     assert recips[0] is not None and recips[1] is not None
-    args = (qp.w_feat, qp.w_out, jnp.asarray(packed), n_bins, n_in, steps,
-            (11, 3), (-5, -2))
+    args = (qp, jnp.asarray(packed), n_bins, n_in, steps)
     ref = np.asarray(aer_counts_forward(*args))
     fast = np.asarray(aer_counts_forward(*args, recips=recips))
     assert ref.sum() != 0
