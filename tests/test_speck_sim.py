@@ -463,3 +463,28 @@ def test_iaf_step_int_recip_bit_identical():
             )
             np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_fast))
             np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_fast))
+
+
+def test_count_recips_fall_back_to_none_past_envelope():
+    """quantized_recips_for_counts must refuse (None) when the count-scaled
+    envelope exceeds the provable f32 range — the caller then keeps the
+    exact integer floor-divide instead of a silently-unproven multiply."""
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.speck_sim import (
+        QuantizedParams,
+        quantized_recips_for_counts,
+    )
+
+    qp = QuantizedParams(
+        w_feat=jnp.full((64, 8), 127, jnp.int32),
+        w_out=jnp.full((8, 4), 127, jnp.int32),
+        thr_feat=2, thr_out=2, minv_feat=-1, minv_out=-1,
+        scale_feat=1.0, scale_out=1.0,
+    )
+    # k=1: drive1 = 64*127 ~ 8k — provable.
+    r1 = quantized_recips_for_counts(qp, 1)
+    assert r1[0] is not None
+    # k huge: drive1 = 64*127*5000 ~ 4e7 > 2^24 — must refuse.
+    r2 = quantized_recips_for_counts(qp, 5000)
+    assert r2[0] is None

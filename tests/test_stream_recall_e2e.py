@@ -135,6 +135,22 @@ def test_streaming_recall_within_margin_of_offline(stream_run, example_paths):
             "STREAM_RECALL.json is stale: regenerate with "
             "`make online-recall`"
         )
+        # The committed artifact must also carry the sunset cross-traverse
+        # report (the harder published-result analogue) and the density
+        # sweep; running those live is minutes-scale, so CI checks presence
+        # and sanity rather than regenerating.
+        data = json.load(open(committed))
+        sunset = next(
+            r for r in data["reports"] if r["traverse"] == "sunset"
+        )
+        assert sunset["n_match_columns"] == 180
+        assert 0.05 <= sunset["online"][0] <= sunset["online"][-1] <= 1.0
+        sweep = data.get("density_sweep_example", [])
+        assert len(sweep) >= 2
+        by_density = sorted(sweep, key=lambda r: r["events_per_bin"])
+        # Online accuracy must not DEGRADE with density (the chip-threshold
+        # regime's defining property, BENCHMARKS.md density table).
+        assert by_density[0]["online"][0] <= by_density[-1]["online"][0]
 
 
 def test_streaming_output_density_is_realistic(stream_run):
