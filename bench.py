@@ -57,8 +57,8 @@ from lens_tpu.utils.jaxsetup import setup_jax  # noqa: E402
 # (see .claude/skills/verify/SKILL.md).  If the TPU run does not finish in
 # time, re-exec on the CPU backend so the driver still gets a (clearly
 # labeled) measurement instead of a hang.
-WATCHDOG_SECS = int(os.environ.get("LENS_BENCH_WATCHDOG", "900"))
-SOFT_BUDGET_SECS = int(os.environ.get("LENS_BENCH_BUDGET", "660"))
+WATCHDOG_SECS = int(os.environ.get("LENS_BENCH_WATCHDOG", "1800"))
+SOFT_BUDGET_SECS = int(os.environ.get("LENS_BENCH_BUDGET", "1200"))
 FORCE_CPU = os.environ.get("LENS_BENCH_CPU") == "1"
 
 if FORCE_CPU:

@@ -258,6 +258,14 @@ def main(argv=None) -> int:
         "variable — reference hardware logs ~1e5 events/s)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--seeds",
+        default="",
+        help="comma list of extra synthesis seeds: report the online "
+        "Recall@1 band across independent stream realizations of the "
+        "example traverse (synthesis noise, not pipeline noise — the "
+        "pipeline is deterministic per stream)",
+    )
     p.add_argument("--json", default="", help="write the JSON report here")
     p.add_argument("--csv_dir", default="", help="write overlay CSVs here")
     p.add_argument("--out", default="", help="run output base (default: temp)")
@@ -305,6 +313,23 @@ def main(argv=None) -> int:
                 [[r["events_per_bin"], *r["online"]] for r in sweep],
             )
         )
+    if args.seeds:
+        gt_path = os.path.join(
+            cfgs["example"]["offline"].data_dir, "example", "davis128",
+            "example-reference_example-query_GT.npy",
+        )
+        GT = np.load(gt_path)
+        band = []
+        for s in [int(x) for x in args.seeds.split(",") if x.strip()]:
+            row = run_stream_once(
+                cfgs["example"]["stream"], GT, args.events_per_bin, s
+            )
+            row.pop("_matrix")
+            row["seed"] = s
+            band.append(row)
+        payload["seed_band_example"] = band
+        r1 = [r["online"][0] for r in band]
+        print(f"seed band (R@1 over seeds {args.seeds}): {min(r1)}-{max(r1)}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=2)
