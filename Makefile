@@ -58,6 +58,9 @@ example-fleet:
 example-scale:
 	python examples/production_scale.py --small
 
+example-aer:
+	python examples/aer_batch_eval.py
+
 clean:
 	rm -rf .jax_cache lens/output native/liblens_events.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
