@@ -488,3 +488,25 @@ def test_count_recips_fall_back_to_none_past_envelope():
     # k huge: drive1 = 64*127*5000 ~ 4e7 > 2^24 — must refuse.
     r2 = quantized_recips_for_counts(qp, 5000)
     assert r2[0] is None
+
+
+def test_verified_recip_proof_is_sensitive():
+    """Mutation probe for the exhaustive proof: a multiplier strictly BELOW
+    1/thr must fail (an exact multiple v = k*thr then computes v*m < k and
+    floors to k-1), so the checker genuinely discriminates — it cannot pass
+    an under-estimating constant.  (Multipliers slightly ABOVE the verified
+    one can legitimately remain exact over a bounded envelope — validity is
+    an interval, not a point — which is why the probe nudges downward.)"""
+    from lens_tpu.runtime.speck_sim import verified_recip
+
+    for thr in (3, 7, 2184):
+        v_max = 2_000_000
+        m = np.float32(verified_recip(thr, v_max))
+        assert m >= np.float64(1.0) / thr  # verified multiplier never under
+        bad = np.nextafter(np.float32(1.0) / np.float32(thr), np.float32(0.0))
+        while np.float64(bad) >= np.float64(1.0) / thr:
+            bad = np.nextafter(bad, np.float32(0.0))
+        v = np.arange(0, v_max + 1, dtype=np.float32)
+        got = np.floor(v * bad)
+        want = np.floor(v.astype(np.float64) / thr)
+        assert not np.array_equal(got, want), f"thr={thr}: bad recip passed"
