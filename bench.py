@@ -246,7 +246,7 @@ def section_quant(result: dict) -> None:
     from lens_tpu.runtime.speck_sim import (
         discretize,
         forward_counts_quantized_bucketed,
-        quantized_pallas_recips,
+        quantized_route,
     )
 
     params, ds, u = result["_params"], result["_ds"], result["_u"]
@@ -270,37 +270,14 @@ def section_quant(result: dict) -> None:
         dt = time.perf_counter() - t0
         assert last > 0
         rates.append(BENCH_QUERIES * ITERS / dt)
-    # Label the route the dispatcher ACTUALLY took (mirrors the predicate
-    # in forward_counts_quantized_bucketed), not just recip availability.
-    from lens_tpu.ops.fused_forward import (
-        _PALLAS_VMEM_BUDGET_BYTES,
-        kernel_vmem_bytes,
-        pallas_available,
-    )
-    from lens_tpu.runtime.speck_sim import (
-        quantized_int8_ok,
-        quantized_pallas_exact_ok,
-    )
-
-    fits = kernel_vmem_bytes(
-        intens_np.shape[1], qp.w_feat.shape[1], qp.w_out.shape[1],
-        u.shape[0], 1024,
-    ) <= _PALLAS_VMEM_BUDGET_BYTES
-    if pallas_available() and fits and quantized_pallas_exact_ok(qp, u.shape[0]):
-        r_feat, r_out = quantized_pallas_recips(qp)
-        route = (
-            "pallas_verified_recip"
-            if (r_feat is not None and r_out is not None)
-            else "pallas_corrected_recip"
-        )
-    elif quantized_int8_ok(qp):
-        route = "int8_hoisted"
-    else:
-        route = "int32_scan"
     result.update(
         {
             "quant_frames_per_sec": round(float(np.median(rates)), 1),
-            "quant_route": route,
+            # The dispatcher's own routing predicate — labels cannot drift
+            # from behavior (speck_sim.quantized_route).
+            "quant_route": quantized_route(
+                qp, intens_np.shape[1], u.shape[0], BENCH_QUERIES
+            ),
         }
     )
 

@@ -170,6 +170,39 @@ def discretize(
     )
 
 
+def quantized_route(
+    qparams: QuantizedParams, n_in: int, t_steps: int, q_bucket: int
+) -> str:
+    """Which exact route forward_counts_quantized_bucketed dispatches for
+    this (model, shape): 'pallas_verified_recip' / 'pallas_corrected_recip'
+    / 'int8_hoisted' / 'int32_scan' / 'none' (no exact route exists).  The
+    ONE routing predicate — the dispatcher and any reporting (bench.py's
+    quant_route field) both read it, so labels cannot drift from behavior.
+    Route by EXACTNESS first, speed second: each route's integer-exactness
+    envelope is checked against the model's static worst case."""
+    from lens_tpu.ops.fused_forward import (
+        _PALLAS_VMEM_BUDGET_BYTES,
+        kernel_vmem_bytes,
+        pallas_available,
+    )
+
+    fits = kernel_vmem_bytes(
+        n_in, qparams.w_feat.shape[1], qparams.w_out.shape[1], t_steps, q_bucket
+    ) <= _PALLAS_VMEM_BUDGET_BYTES
+    if pallas_available() and fits and quantized_pallas_exact_ok(qparams, t_steps):
+        r_feat, r_out = quantized_pallas_recips(qparams)
+        return (
+            "pallas_verified_recip"
+            if (r_feat is not None and r_out is not None)
+            else "pallas_corrected_recip"
+        )
+    if quantized_int8_ok(qparams):
+        return "int8_hoisted"
+    if quantized_scan_exact_ok(qparams):
+        return "int32_scan"
+    return "none"
+
+
 def forward_counts_quantized_bucketed(
     qparams: QuantizedParams,
     intensities: jnp.ndarray,
@@ -198,38 +231,19 @@ def forward_counts_quantized_bucketed(
         intensities = jnp.zeros((q_p, intensities.shape[1]), jnp.float32).at[:q].set(
             intensities
         )
-    from lens_tpu.ops.fused_forward import (
-        _PALLAS_VMEM_BUDGET_BYTES,
-        kernel_vmem_bytes,
-        pallas_available,
+    route = quantized_route(
+        qparams, intensities.shape[1], u_thresh.shape[0], q_bucket
     )
-
-    fits = kernel_vmem_bytes(
-        intensities.shape[1],
-        qparams.w_feat.shape[1],
-        qparams.w_out.shape[1],
-        u_thresh.shape[0],
-        q_bucket,
-    ) <= _PALLAS_VMEM_BUDGET_BYTES
-    t_steps = u_thresh.shape[0]
-    # Route by EXACTNESS first, speed second: each route's integer-exactness
-    # envelope is checked against this model's static worst case, and a
-    # model no exact route can serve raises instead of silently misrounding
-    # (the mode exists to be bit-accurate).
-    if (
-        pallas_available()
-        and fits
-        and quantized_pallas_exact_ok(qparams, t_steps)
-    ):
+    if route.startswith("pallas"):
         return forward_counts_quantized_pallas(
             qparams, intensities, u_thresh, tile_q=q_bucket
         )[:q]
-    if quantized_int8_ok(qparams):
+    if route == "int8_hoisted":
         # Models past the fused kernel's VMEM budget are GEMM-bound; the
         # hoisted int8 route runs those GEMMs in the MXU's int8 mode
         # (2x the bf16 peak) and is bit-identical to the int32 scan.
         return forward_counts_quantized_int8(qparams, intensities, u_thresh)[:q]
-    if not quantized_scan_exact_ok(qparams):
+    if route == "none":
         raise ValueError(
             "quantized model exceeds every exact simulation envelope "
             "(layer drives past f32's 2^24 integer range and per-step "

@@ -143,6 +143,14 @@ def online_recall(S_stream: np.ndarray, GT: np.ndarray, tolerance: int) -> list:
     return [round(recall_at_k(S_stream, GTcols, K=n), 2) for n in RECALL_NS]
 
 
+def gt_path_for(cfg: LensConfig) -> str:
+    """The traverse's ground-truth file under the standard dataset layout."""
+    return os.path.join(
+        cfg.data_dir, cfg.dataset, cfg.camera,
+        f"{cfg.reference}_{cfg.query}_GT.npy",
+    )
+
+
 def run_stream_once(
     stream: LensConfig, GT: np.ndarray, events_per_bin: int, seed: int
 ) -> dict:
@@ -185,11 +193,7 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
     off: LensConfig = cfgs["offline"]
     stream: LensConfig = cfgs["stream"]
 
-    gt_path = os.path.join(
-        off.data_dir, off.dataset, off.camera,
-        f"{off.reference}_{off.query}_GT.npy",
-    )
-    GT = np.load(gt_path)
+    GT = np.load(gt_path_for(off))
 
     # --- online: synthesize the stream and run the full event-driven mode
     srun = run_stream_once(stream, GT, events_per_bin, seed)
@@ -296,11 +300,7 @@ def main(argv=None) -> int:
             )
     payload = {"reports": reports}
     if args.densities:
-        gt_path = os.path.join(
-            cfgs["example"]["offline"].data_dir, "example", "davis128",
-            "example-reference_example-query_GT.npy",
-        )
-        GT = np.load(gt_path)
+        GT = np.load(gt_path_for(cfgs["example"]["offline"]))
         sweep = []
         for d in [int(x) for x in args.densities.split(",") if x.strip()]:
             row = run_stream_once(cfgs["example"]["stream"], GT, d, args.seed)
@@ -314,11 +314,7 @@ def main(argv=None) -> int:
             )
         )
     if args.seeds:
-        gt_path = os.path.join(
-            cfgs["example"]["offline"].data_dir, "example", "davis128",
-            "example-reference_example-query_GT.npy",
-        )
-        GT = np.load(gt_path)
+        GT = np.load(gt_path_for(cfgs["example"]["offline"]))
         band = []
         for s in [int(x) for x in args.seeds.split(",") if x.strip()]:
             row = run_stream_once(
