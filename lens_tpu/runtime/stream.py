@@ -763,6 +763,7 @@ def run_event_driven(cfg: LensConfig):
     # the fetch until the NEXT bin arrives would add a full bin of match
     # latency (indefinite if the sensor stalls).
     pending = None
+    t_run_start = time.monotonic()
     try:
         start = 0
         for group in _chunked(bins_iter):
@@ -815,6 +816,35 @@ def run_event_driven(cfg: LensConfig):
         spike_file.close()
         matcher.close()
         power.save(os.path.join(output_folder, "power_data.npy"))
+        # Machine-readable run summary (the streaming analogue of
+        # run_model's metrics.json; inside the finally block so an
+        # interrupted stream still leaves its partial tallies).
+        import json
+
+        wall = time.monotonic() - t_run_start
+        try:
+            with open(os.path.join(output_folder, "metrics.json"), "w") as f:
+                json.dump(
+                    {
+                        "bins_processed": int(start),
+                        "matches_logged": int(matcher.n_matches_total),
+                        "timebin_ms": cfg.timebin,
+                        "wall_s": round(wall, 2),
+                        "bins_per_sec": round(start / wall, 2) if wall > 0 else None,
+                        "realtime_factor": (
+                            round(start * timebin_s / wall, 2) if wall > 0 else None
+                        ),
+                        "mean_power_mw": round(power.mean_total_mw(), 3),
+                        "source": "live-stdin" if live else (
+                            cfg.event_file or "frame-replay"
+                        ),
+                        "stream_chunk_bins": chunk,
+                    },
+                    f,
+                    indent=2,
+                )
+        except OSError:
+            pass  # summary must never mask the primary artifacts' close
     logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")
     logger.info("")
     logger.info("Successfully completed inferencing using LENS")

@@ -164,3 +164,8 @@ def test_streaming_output_density_is_realistic(stream_run):
     assert spikes.shape[0] == 100
     per_bin = spikes.sum(axis=1)
     assert (per_bin > 0).mean() > 0.9  # >90% of bins emit output spikes
+    # Machine-readable stream summary (the run_model metrics.json analogue).
+    metrics = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert metrics["bins_processed"] == 100
+    assert metrics["matches_logged"] == 24
+    assert metrics["bins_per_sec"] > 0
