@@ -46,6 +46,13 @@ online-recall:
 		--json STREAM_RECALL.json --csv_dir lens/data/online \
 		--densities 2000,5000,50000
 
+# Chip-regime sweep: select hyperparameters by ONLINE accuracy at the 10/2
+# chip thresholds (the reference paper's hardware-sweep role).  Refreshes
+# CHIP_SWEEP.json and the bundled chip-example checkpoint.
+chip-sweep:
+	python -m lens_tpu.tools.chip_sweep --n_trials 8 --save_best \
+		--json CHIP_SWEEP.json
+
 dryrun:
 	python __graft_entry__.py --dryrun
 

@@ -48,6 +48,9 @@ class SweepResult:
     recalls: np.ndarray  # (n_trials, 6)
     auc: np.ndarray  # (n_trials,)
     best: int  # index of the best trial
+    params: Optional[List[LensParams]] = None  # per-trial trained params
+    # (populated when run_sweep(return_params=True); consumers like the
+    # chip-regime sweep re-evaluate trials through the STREAMING path)
 
 
 def sample_search_space(rng: np.random.Generator, n_trials: int) -> List[dict]:
@@ -77,6 +80,7 @@ def run_sweep(
     output_folder: Optional[str] = None,
     use_wandb: bool = False,
     shard_trials: Optional[bool] = None,
+    return_params: bool = False,
 ) -> SweepResult:
     log = logger.info if logger else print
     rng = np.random.default_rng(seed)
@@ -253,4 +257,18 @@ def run_sweep(
                 f,
                 indent=2,
             )
-    return SweepResult(trials=trials, recalls=recalls, auc=auc, best=best)
+    params_out = None
+    if return_params:
+        params_np = jax.tree.map(np.asarray, params_b)
+        params_out = [
+            LensParams(
+                w_feat=params_np.w_feat[i],
+                w_out=params_np.w_out[i],
+                thr_feat=params_np.thr_feat[i],
+                thr_out=params_np.thr_out[i],
+            )
+            for i in range(n_trials)
+        ]
+    return SweepResult(
+        trials=trials, recalls=recalls, auc=auc, best=best, params=params_out
+    )

@@ -1,0 +1,228 @@
+"""Chip-regime hyperparameter sweep: tune for ONLINE accuracy at 10/2.
+
+The reference paper's deployed models are sweep-tuned for the chip's
+operating point (run_speck.py's threshold overrides 10/2; the optimizer.py
+search space exists to find firing-rate regimes that survive them).  The
+standard sweep (parallel/sweep.py) scores trials through the OFFLINE float
+pipeline; this tool re-scores the SAME trained trials through the full
+streaming path — discretize at the 10/2 thresholds with weight
+compensation, event-time replay of a synthesized on-chip-density stream,
+the OnlineMatcher with its cumulative-accumulator quirk — and selects by
+online AUC.  The stream's per-bin rasters are model-independent, so they
+are built once and every trial reuses them; each trial's 100-bin replay is
+ONE chunked device program (stream_forward_counts_carry_multi).
+
+    python -m lens_tpu.tools.chip_sweep --n_trials 8
+    python -m lens_tpu.tools.chip_sweep --n_trials 8 --save_best
+
+With --save_best the winner ships as
+`chip-example_LENS_IN{n}_FN{n}_DB{n}` under --models_dir (native .npz +
+legacy .pth), evaluable via the standard online_recall tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import tempfile
+from dataclasses import replace
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lens_tpu.config import LensConfig
+from lens_tpu.core.network import LensParams
+from lens_tpu.parallel.sweep import run_sweep
+from lens_tpu.run_model import RECALL_NS
+from lens_tpu.runtime.speck_sim import discretize
+from lens_tpu.runtime.stream import (
+    STREAM_THRESHOLDS,
+    OnlineMatcher,
+    aer_bin_source,
+    stream_forward_counts_carry_multi,
+    substeps_for,
+)
+from lens_tpu.tools.make_event_stream import synthesize_events
+from lens_tpu.tools.online_recall import (
+    EVENTS_PER_BIN,
+    FEAT_SCALE,
+    OUT_SCALE,
+    gt_path_for,
+    online_recall,
+    traverse_configs,
+)
+from lens_tpu.utils import checkpoint
+from lens_tpu.utils.table import ascii_table
+
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
+
+def build_stream_rasters(
+    cfg: LensConfig, events_per_bin: int, seed: int
+) -> np.ndarray:
+    """(n_bins, S, n_in) model-independent event-time rasters of a
+    synthesized query-traverse stream (the same synthesis online_recall
+    replays, minus the per-model forward)."""
+    from lens_tpu.runtime.stream import frame_source
+
+    frames, _ = frame_source(cfg)
+    with tempfile.TemporaryDirectory() as tmp:
+        events = synthesize_events(
+            frames.astype(np.float64),
+            cfg.timebin / 1000.0,
+            events_per_bin,
+            roi_origin=(cfg.roi_x, cfg.roi_y),
+            seed=seed,
+        )
+        path = os.path.join(tmp, "stream.npy")
+        np.save(path, events)
+        cfg = replace(cfg, event_file=path)
+        steps = substeps_for(cfg.timebin)
+        rasters = [r for r, _ in aer_bin_source(cfg, steps)]
+    return np.stack(rasters).astype(np.int32)
+
+
+def stream_eval(
+    params: LensParams,
+    rasters: np.ndarray,
+    GT: np.ndarray,
+    cfg: LensConfig,
+) -> Tuple[List[float], float]:
+    """(online Recall@N, online AUC) of one model through the exact
+    streaming stack: 10/2-compensated discretization, chunked carry
+    forward, OnlineMatcher."""
+    rescaled = LensParams(
+        w_feat=np.asarray(params.w_feat) * FEAT_SCALE,
+        w_out=np.asarray(params.w_out) * OUT_SCALE,
+        thr_feat=params.thr_feat,
+        thr_out=params.thr_out,
+    )
+    qp = discretize(rescaled, STREAM_THRESHOLDS, cfg.min_v_mem)
+    counts, _, _, _ = stream_forward_counts_carry_multi(
+        qp,
+        jnp.asarray(rasters),
+        jnp.zeros((qp.w_feat.shape[1],), jnp.int32),
+        jnp.zeros((qp.w_out.shape[1],), jnp.int32),
+    )
+    counts = np.asarray(counts)
+    with tempfile.TemporaryDirectory() as tmp:
+        matcher = OnlineMatcher(
+            cfg.reference_places,
+            cfg.sequence_length,
+            tmp,
+            logging.getLogger("chip_sweep.silent"),
+        )
+        for c in counts:
+            matcher.push(c)
+        matcher.close()
+        S = np.load(os.path.join(tmp, "similarity_matrix.npy")).T
+    recalls = online_recall(S, GT, cfg.GT_tolerance)
+    return recalls, float(_trapezoid(recalls, np.array(RECALL_NS)))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Chip-regime (online 10/2) sweep")
+    p.add_argument("--n_trials", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epoch_feat", type=int, default=32)
+    p.add_argument("--epoch_out", type=int, default=32)
+    p.add_argument("--events_per_bin", type=int, default=EVENTS_PER_BIN)
+    p.add_argument("--save_best", action="store_true")
+    p.add_argument("--json", default="", help="write results JSON here")
+    args = p.parse_args(argv)
+
+    logging.getLogger("chip_sweep.silent").addHandler(logging.NullHandler())
+    logging.getLogger("chip_sweep.silent").propagate = False
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    cfgs = traverse_configs(root, tempfile.mkdtemp(prefix="chip_sweep_"))
+    stream_cfg: LensConfig = cfgs["example"]["stream"]
+    train_cfg = replace(
+        cfgs["example"]["offline"],
+        epoch_feat=args.epoch_feat,
+        epoch_out=args.epoch_out,
+    )
+    GT = np.load(gt_path_for(stream_cfg))
+
+    print(f"building stream rasters ({args.events_per_bin} events/bin)...")
+    rasters = build_stream_rasters(stream_cfg, args.events_per_bin, args.seed)
+
+    print(f"training {args.n_trials} trials (one vmapped program)...")
+    sweep = run_sweep(
+        train_cfg, n_trials=args.n_trials, seed=args.seed, return_params=True
+    )
+
+    # Baseline: the bundled pretrained checkpoint through the same stream.
+    pretrained = checkpoint.load_model(
+        stream_cfg.models_dir, stream_cfg.model_name()
+    )
+    base_recalls, base_auc = stream_eval(pretrained, rasters, GT, stream_cfg)
+
+    rows = []
+    results = []
+    for i, params in enumerate(sweep.params):
+        online, auc_on = stream_eval(params, rasters, GT, stream_cfg)
+        results.append(
+            {
+                "trial": i,
+                "hyper": sweep.trials[i],
+                "offline_auc": float(sweep.auc[i]),
+                "online": online,
+                "online_auc": auc_on,
+            }
+        )
+        rows.append([i, round(float(sweep.auc[i]), 2), online[0], round(auc_on, 2)])
+    best = max(range(len(results)), key=lambda i: results[i]["online_auc"])
+
+    print(
+        ascii_table(
+            ["trial", "offline AUC", "online R@1", "online AUC"],
+            rows
+            + [["pretrained(x10/x2)", "-", base_recalls[0], round(base_auc, 2)]],
+        )
+    )
+    print(
+        f"best-online trial {best}: R@N={results[best]['online']} "
+        f"(online AUC {results[best]['online_auc']:.2f} vs pretrained "
+        f"{base_auc:.2f})"
+    )
+
+    if args.save_best:
+        name = stream_cfg.model_name().replace(
+            stream_cfg.reference, "chip-example", 1
+        )
+        path = checkpoint.save_model(
+            stream_cfg.models_dir,
+            name,
+            sweep.params[best],
+            json.dumps(
+                {
+                    "chip_sweep": results[best]["hyper"],
+                    "online_recall": results[best]["online"],
+                    "regime": "streaming 10/2 (rescale x10/x2 before discretize)",
+                }
+            ),
+        )
+        print(f"saved best-online model: {path}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "results": results,
+                    "best": best,
+                    "pretrained_online": base_recalls,
+                    "pretrained_online_auc": base_auc,
+                    "events_per_bin": args.events_per_bin,
+                },
+                f,
+                indent=2,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
