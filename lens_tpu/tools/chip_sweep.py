@@ -85,21 +85,29 @@ def build_stream_rasters(
     return np.stack(rasters).astype(np.int32)
 
 
-def stream_eval(
-    params: LensParams,
-    rasters: np.ndarray,
-    GT: np.ndarray,
-    cfg: LensConfig,
-) -> Tuple[List[float], float]:
-    """(online Recall@N, online AUC) of one model through the exact
-    streaming stack: 10/2-compensated discretization, chunked carry
-    forward, OnlineMatcher."""
-    rescaled = LensParams(
+def compensate(params: LensParams) -> LensParams:
+    """Pre-scale weights for the 10/2 streaming thresholds (a linear IAF
+    layer's spikes are invariant under (w, thr) -> (c*w, c*thr))."""
+    return LensParams(
         w_feat=np.asarray(params.w_feat) * FEAT_SCALE,
         w_out=np.asarray(params.w_out) * OUT_SCALE,
         thr_feat=params.thr_feat,
         thr_out=params.thr_out,
     )
+
+
+def stream_eval(
+    params: LensParams,
+    rasters: np.ndarray,
+    GT: np.ndarray,
+    cfg: LensConfig,
+    compensated: bool = False,
+) -> Tuple[List[float], float]:
+    """(online Recall@N, online AUC) of one model through the exact
+    streaming stack: 10/2-compensated discretization, chunked carry
+    forward, OnlineMatcher.  `compensated=True` for checkpoints already
+    saved in the pre-scaled deployment form (the bundled chip-example)."""
+    rescaled = params if compensated else compensate(params)
     qp = discretize(rescaled, STREAM_THRESHOLDS, cfg.min_v_mem)
     counts, _, _, _ = stream_forward_counts_carry_multi(
         qp,
@@ -194,19 +202,28 @@ def main(argv=None) -> int:
         name = stream_cfg.model_name().replace(
             stream_cfg.reference, "chip-example", 1
         )
+        # Save in the PRE-COMPENSATED deployment form: `main.py
+        # --event_driven --reference chip-example` then reproduces the
+        # advertised online numbers with no extra scaling step (the CLI
+        # streaming path applies the 10/2 thresholds to the checkpoint
+        # as-is).  This checkpoint is chip-regime-specific — evaluating it
+        # through the unit-threshold OFFLINE pipeline is the wrong regime.
         path = checkpoint.save_model(
             stream_cfg.models_dir,
             name,
-            sweep.params[best],
+            compensate(sweep.params[best]),
             json.dumps(
                 {
                     "chip_sweep": results[best]["hyper"],
                     "online_recall": results[best]["online"],
-                    "regime": "streaming 10/2 (rescale x10/x2 before discretize)",
+                    "regime": (
+                        "streaming 10/2; weights PRE-compensated x10/x2 — "
+                        "use with --event_driven, not the offline pipeline"
+                    ),
                 }
             ),
         )
-        print(f"saved best-online model: {path}")
+        print(f"saved best-online model (pre-compensated): {path}")
 
     if args.json:
         with open(args.json, "w") as f:

@@ -33,12 +33,15 @@ def test_shipped_chip_model_beats_pretrained_online():
     chip_name = stream_cfg.model_name().replace(
         stream_cfg.reference, "chip-example", 1
     )
+    # The bundled checkpoint ships PRE-compensated for the 10/2 regime.
     chip = checkpoint.load_model(stream_cfg.models_dir, chip_name)
     pretrained = checkpoint.load_model(
         stream_cfg.models_dir, stream_cfg.model_name()
     )
 
-    chip_recalls, chip_auc = stream_eval(chip, rasters, GT, stream_cfg)
+    chip_recalls, chip_auc = stream_eval(
+        chip, rasters, GT, stream_cfg, compensated=True
+    )
     base_recalls, base_auc = stream_eval(pretrained, rasters, GT, stream_cfg)
 
     # Deterministic pipeline: the shipped numbers reproduce exactly.
@@ -53,3 +56,51 @@ def test_shipped_chip_model_beats_pretrained_online():
         assert data["results"][data["best"]]["online"] == chip_recalls, (
             "CHIP_SWEEP.json is stale: regenerate with `make chip-sweep`"
         )
+
+
+def test_chip_model_through_the_real_cli_stream_path(tmp_path):
+    """Deployment contract: `--event_driven` with the chip-example
+    checkpoint (no extra scaling step) reproduces the advertised online
+    accuracy through the FULL CLI pipeline — run_event_driven end-to-end,
+    not just the sweep's evaluation stack."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.tools.make_event_stream import synthesize_events
+    from lens_tpu.tools.online_recall import load_online_matrix, online_recall
+    from lens_tpu.runtime.stream import frame_source
+
+    cfgs = traverse_configs(ROOT, str(tmp_path / "out"))
+    stream_cfg = cfgs["example"]["stream"]
+    frames, _ = frame_source(stream_cfg)
+    events = synthesize_events(
+        frames.astype(np.float64), stream_cfg.timebin / 1000.0,
+        EVENTS_PER_BIN, roi_origin=(stream_cfg.roi_x, stream_cfg.roi_y),
+        seed=0,
+    )
+    stream_path = str(tmp_path / "stream.npy")
+    np.save(stream_path, events)
+    # The reference-name scheme couples the model name to the reference
+    # traverse name (main.py:27-38), so deploying the chip model means a
+    # `chip-example` reference dir must exist for the checker — mirror the
+    # dataset with symlinks, as a deployment would.
+    data = tmp_path / "dataset"
+    cam = data / "example" / "davis128"
+    cam.mkdir(parents=True)
+    src_cam = os.path.join(
+        stream_cfg.data_dir, "example", "davis128"
+    )
+    for d in ("example-reference", "example-query"):
+        os.symlink(os.path.join(src_cam, d), cam / d)
+    os.symlink(os.path.join(src_cam, "example-reference"), cam / "chip-example")
+    cfg = replace(
+        stream_cfg,
+        reference="chip-example",
+        event_file=stream_path,
+        data_dir=str(data) + os.sep,
+    )
+    run_event_driven(cfg)
+    S = load_online_matrix(cfg.output_base)
+    GT = np.load(gt_path_for(stream_cfg))
+    recalls = online_recall(S, GT, cfg.GT_tolerance)
+    assert recalls[0] >= 0.6, recalls
