@@ -133,6 +133,9 @@ def stream_eval(
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Chip-regime (online 10/2) sweep")
+    p.add_argument(
+        "--traverse", default="example", choices=["example", "sunset"]
+    )
     p.add_argument("--n_trials", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epoch_feat", type=int, default=32)
@@ -147,9 +150,9 @@ def main(argv=None) -> int:
 
     root = os.path.join(os.path.dirname(__file__), "..", "..")
     cfgs = traverse_configs(root, tempfile.mkdtemp(prefix="chip_sweep_"))
-    stream_cfg: LensConfig = cfgs["example"]["stream"]
+    stream_cfg: LensConfig = cfgs[args.traverse]["stream"]
     train_cfg = replace(
-        cfgs["example"]["offline"],
+        cfgs[args.traverse]["offline"],
         epoch_feat=args.epoch_feat,
         epoch_out=args.epoch_out,
     )
@@ -200,7 +203,7 @@ def main(argv=None) -> int:
 
     if args.save_best:
         name = stream_cfg.model_name().replace(
-            stream_cfg.reference, "chip-example", 1
+            stream_cfg.reference, f"chip-{args.traverse}", 1
         )
         # Save in the PRE-COMPENSATED deployment form: `main.py
         # --event_driven --reference chip-example` then reproduces the
