@@ -99,6 +99,12 @@ from lens_tpu.utils import checkpoint  # noqa: E402
 # pass through the nonlinear IAF recurrences.  One jit wrapper so every
 # section shares its compilation cache.
 _FENCE = jax.jit(lambda x: x.sum())
+# Two-output fence for windows that also check a mid-window reordering
+# guard: BOTH reductions come back in ONE 8-byte fetch.  Two sequential
+# scalar fetches cost two tunnel roundtrips (~30-50 ms each) — measured to
+# depress the headline from ~360-420k to ~230k frames/s at round-4 kernel
+# speeds (the quant section, with one fetch, showed the gap).
+_FENCE2 = jax.jit(lambda a, b: jnp.stack([a.sum(), b.sum()]))
 
 BASELINE_FRAMES_PER_SEC = 10_000.0
 BENCH_QUERIES = 1024  # fixed shape => compilation cache hit across runs
@@ -170,8 +176,9 @@ def section_headline(result: dict) -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             outs = [best_forward(params, b, u) for b in batches]
-            mid = float(np.asarray(fence(outs[ITERS // 2])))
-            last = float(np.asarray(fence(outs[-1])))
+            mid, last = np.asarray(
+                _FENCE2(outs[ITERS // 2], outs[-1])
+            )  # one roundtrip for both checks
             dt = time.perf_counter() - t0
             assert mid > 0 and last > 0
             rates.append(BENCH_QUERIES * ITERS / dt)
