@@ -258,6 +258,51 @@ class ModelHost:
             "latency_ms": round(latency, 3),
         }
 
+    def match_events(self, packed: np.ndarray, n_bins: int) -> dict:
+        """AER-sparse batch evaluation: packed uint32 words (bin*n_in+pix,
+        the ingest stage's wire format — ops/events_device) are expanded by
+        a device scatter and evaluated by the quantized even-spread forward
+        in one program.  The deployment-shaped request body: a robot's
+        LUT-filtered events, no dense frames on the wire."""
+        from lens_tpu.core.network import SpikeThresholds
+        from lens_tpu.ops.events_device import aer_counts_forward
+        from lens_tpu.runtime.speck_sim import discretize
+        from lens_tpu.runtime.stream import substeps_for
+
+        from lens_tpu.ops.events_device import PACKED_SENTINEL
+
+        n_in = self.cfg.input
+        real = packed[packed != PACKED_SENTINEL]  # sentinel words = padding
+        if real.size and int(real.max()) >= n_bins * n_in:
+            raise ValueError(
+                f"packed word out of range for {n_bins} bins x {n_in} inputs"
+            )
+        steps = substeps_for(self.cfg.timebin)
+        t0 = time.perf_counter()
+        with self._lock:
+            qp = self._qp_cache.get("unit")
+            if qp is None:
+                qp = discretize(
+                    self.model.params, SpikeThresholds(), self.cfg.min_v_mem
+                )
+                self._qp_cache["unit"] = qp
+            import jax.numpy as jnp
+
+            counts = np.asarray(
+                aer_counts_forward(qp, jnp.asarray(packed), n_bins, n_in, steps)
+            )
+        latency = (time.perf_counter() - t0) * 1000.0
+        with self._lock:
+            self.latencies_ms.append(latency)
+            if len(self.latencies_ms) > 10_000:
+                del self.latencies_ms[:5_000]
+            self.requests += 1
+        return {
+            "matches": [int(c) for c in counts.argmax(axis=1)],
+            "counts": counts.astype(int).tolist(),
+            "latency_ms": round(latency, 3),
+        }
+
     # -- stateful online streaming sessions ---------------------------------
     def stream_open(self, thresholds: str = "chip") -> dict:
         """New online session: quantized network + fresh membranes that
@@ -435,6 +480,20 @@ def _make_handler(host: ModelHost):
                         return
                     frames = np.frombuffer(raw, np.uint8).reshape(n, roi, roi)
                     self._send(200, host.match(frames))
+                elif self.path == "/match_events":
+                    n_bins = int(self.headers.get("X-Bin-Count", 0))
+                    if n_bins <= 0:
+                        self._send(400, {"error": "X-Bin-Count required (> 0)"})
+                        return
+                    if length % 4 != 0:
+                        self._send(
+                            400,
+                            {"error": f"body must be uint32 words, got "
+                                      f"{length} bytes"},
+                        )
+                        return
+                    packed = np.frombuffer(raw, np.uint32)
+                    self._send(200, host.match_events(packed, n_bins))
                 elif self.path == "/stream/open":
                     opts = json.loads(raw) if raw else {}
                     if not isinstance(opts, dict):

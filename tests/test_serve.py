@@ -315,3 +315,60 @@ def test_stream_open_nondict_json_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(port, "/stream/open", b'"chip"')
     assert e.value.code == 400
+
+
+def test_match_events_roundtrip(server, tiny_dataset_cfg):
+    """AER-sparse endpoint: packed uint32 words in, per-bin matches out —
+    equal to the local aer_counts_forward on the same words (incl. sentinel
+    padding), with range validation."""
+    import jax.numpy as jnp
+    import urllib.error
+
+    from lens_tpu.core.network import SpikeThresholds
+    from lens_tpu.ops.events_device import (
+        PACKED_SENTINEL,
+        aer_counts_forward,
+        pack_center_events,
+    )
+    from lens_tpu.runtime.speck_sim import discretize
+    from lens_tpu.runtime.stream import substeps_for
+
+    _, host, port = server
+    cfg = tiny_dataset_cfg
+    rng = np.random.default_rng(5)
+    n_bins, n_ev = 3, 60
+    bins = rng.integers(0, n_bins, n_ev)
+    pix = rng.integers(0, cfg.input, n_ev)
+    packed = pack_center_events(bins, pix, cfg.input)
+    packed = np.concatenate([packed, np.full(4, PACKED_SENTINEL, np.uint32)])
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/match_events",
+        data=packed.tobytes(),
+        headers={"X-Bin-Count": str(n_bins)},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert len(out["matches"]) == n_bins
+
+    qp = discretize(host.model.params, SpikeThresholds(), cfg.min_v_mem)
+    ref = np.asarray(
+        aer_counts_forward(
+            qp, jnp.asarray(packed), n_bins, cfg.input,
+            substeps_for(cfg.timebin),
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(out["counts"]), ref)
+
+    # Out-of-range words are a 400, not silent corruption.
+    bad = np.array([n_bins * cfg.input + 5], np.uint32)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/match_events",
+        data=bad.tobytes(),
+        headers={"X-Bin-Count": str(n_bins)},
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
