@@ -162,6 +162,8 @@ def section_headline(result: dict) -> None:
     assert warm.shape == (BENCH_QUERIES, 100)
     fence = _FENCE  # shared scalar fence (see module comment)
     assert float(np.asarray(fence(warm))) > 0
+    _ = np.asarray(_FENCE2(warm, warm))  # warm the paired fence too: its
+    # first trace must not land inside the first timed window
     _ = [np.asarray(fence(best_forward(params, b, u))) for b in batches[:2]]
 
     # Median-of-RUNS protocol (round-4 verdict ask #8): R independent

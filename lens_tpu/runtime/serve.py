@@ -15,6 +15,15 @@ Protocol (HTTP, stdlib-only server — no framework dependency):
                             Response: {"matches": [place...],
                                        "counts": [[...spike counts...]],
                                        "latency_ms": ...}
+  POST /match_events     -> body: raw little-endian uint32 packed AER words
+                            (bin_idx * n_in + pixel, the ingest wire format
+                            of ops/events_device; 0xFFFFFFFF = padding);
+                            header X-Bin-Count (1..MAX_EVENT_BINS) = number
+                            of query bins.  Device scatter + quantized
+                            even-spread forward in one program; response
+                            shape = /match's.  Bin counts are bucketed to
+                            powers of two internally so distinct request
+                            sizes reuse compiled executables.
 
 Stateful ONLINE sessions (the chip's continuous-network semantics — the
 quantized network's membranes persist across a client's timebins, exactly as
@@ -51,6 +60,7 @@ from lens_tpu.models.lens import LensModel
 # 128x128 is 64 MB) while bounding what an unauthenticated client can make
 # the host buffer.
 MAX_BODY_BYTES = 256 * 1024 * 1024
+MAX_EVENT_BINS = 4096  # /match_events bin-axis bound (see match_events)
 
 
 class _BinBatcher:
@@ -236,16 +246,8 @@ class ModelHost:
         warm = np.zeros((1, cfg.input), np.float32)
         self.model.spike_counts(warm)
 
-    def match(self, frames_u8: np.ndarray) -> dict:
-        """(n, roi, roi) uint8 frames -> matches + spike counts."""
-        n = frames_u8.shape[0]
-        intens = (
-            frames_u8.reshape(n, -1)[:, self.sel].astype(np.float32) / 255.0
-        )
-        t0 = time.perf_counter()
-        with self._lock:
-            counts = self.model.spike_counts(intens)
-        latency = (time.perf_counter() - t0) * 1000.0
+    def _record_and_respond(self, counts: np.ndarray, latency: float) -> dict:
+        """Shared stats recording + response shape for the match endpoints."""
         with self._lock:  # handler threads are concurrent; unguarded
             # append/trim/increment lose counts and race the window trim
             self.latencies_ms.append(latency)
@@ -257,6 +259,19 @@ class ModelHost:
             "counts": counts.astype(int).tolist(),
             "latency_ms": round(latency, 3),
         }
+
+    def match(self, frames_u8: np.ndarray) -> dict:
+        """(n, roi, roi) uint8 frames -> matches + spike counts."""
+        n = frames_u8.shape[0]
+        intens = (
+            frames_u8.reshape(n, -1)[:, self.sel].astype(np.float32) / 255.0
+        )
+        t0 = time.perf_counter()
+        with self._lock:
+            counts = self.model.spike_counts(intens)
+        return self._record_and_respond(
+            counts, (time.perf_counter() - t0) * 1000.0
+        )
 
     def match_events(self, packed: np.ndarray, n_bins: int) -> dict:
         """AER-sparse batch evaluation: packed uint32 words (bin*n_in+pix,
@@ -272,11 +287,23 @@ class ModelHost:
         from lens_tpu.ops.events_device import PACKED_SENTINEL
 
         n_in = self.cfg.input
+        if not (0 < n_bins <= MAX_EVENT_BINS):
+            # Unbounded n_bins would let a 4-byte request allocate an
+            # (n_bins, n_in) raster of arbitrary size and trigger a fresh
+            # jit compile under the device lock — the same DoS posture as
+            # MAX_BODY_BYTES, applied to the shape.
+            raise ValueError(
+                f"X-Bin-Count must be 1..{MAX_EVENT_BINS}, got {n_bins}"
+            )
         real = packed[packed != PACKED_SENTINEL]  # sentinel words = padding
         if real.size and int(real.max()) >= n_bins * n_in:
             raise ValueError(
                 f"packed word out of range for {n_bins} bins x {n_in} inputs"
             )
+        # Bucket the bin axis to the next power of two: one compiled
+        # executable per bucket instead of one per request size (padded
+        # bins receive no events and count zero; sliced off below).
+        n_bins_p = 1 << max(0, (n_bins - 1).bit_length())
         steps = substeps_for(self.cfg.timebin)
         t0 = time.perf_counter()
         with self._lock:
@@ -289,19 +316,13 @@ class ModelHost:
             import jax.numpy as jnp
 
             counts = np.asarray(
-                aer_counts_forward(qp, jnp.asarray(packed), n_bins, n_in, steps)
-            )
-        latency = (time.perf_counter() - t0) * 1000.0
-        with self._lock:
-            self.latencies_ms.append(latency)
-            if len(self.latencies_ms) > 10_000:
-                del self.latencies_ms[:5_000]
-            self.requests += 1
-        return {
-            "matches": [int(c) for c in counts.argmax(axis=1)],
-            "counts": counts.astype(int).tolist(),
-            "latency_ms": round(latency, 3),
-        }
+                aer_counts_forward(
+                    qp, jnp.asarray(packed), n_bins_p, n_in, steps
+                )
+            )[:n_bins]
+        return self._record_and_respond(
+            counts, (time.perf_counter() - t0) * 1000.0
+        )
 
     # -- stateful online streaming sessions ---------------------------------
     def stream_open(self, thresholds: str = "chip") -> dict:

@@ -652,9 +652,12 @@ def run_event_driven(cfg: LensConfig):
 
     timebin_s = cfg.timebin / 1000.0
 
+    drained = {"n": 0}  # bins fully persisted (metrics.json ground truth)
+
     def _process_bin(i, frame, counts, feat_spikes) -> None:
         """Host-side consumers for one completed bin (power model,
         artifacts, matcher, dashboard)."""
+        drained["n"] += 1
         n_events = float(frame.sum())
         # synops = input spikes x fan-out per layer (power.py): layer 2's
         # driver is the FEATURE spikes it consumes, not the output spikes.
@@ -823,16 +826,17 @@ def run_event_driven(cfg: LensConfig):
 
         wall = time.monotonic() - t_run_start
         try:
+            n_done = drained["n"]  # persisted bins, not just dispatched ones
             with open(os.path.join(output_folder, "metrics.json"), "w") as f:
                 json.dump(
                     {
-                        "bins_processed": int(start),
+                        "bins_processed": int(n_done),
                         "matches_logged": int(matcher.n_matches_total),
                         "timebin_ms": cfg.timebin,
                         "wall_s": round(wall, 2),
-                        "bins_per_sec": round(start / wall, 2) if wall > 0 else None,
+                        "bins_per_sec": round(n_done / wall, 2) if wall > 0 else None,
                         "realtime_factor": (
-                            round(start * timebin_s / wall, 2) if wall > 0 else None
+                            round(n_done * timebin_s / wall, 2) if wall > 0 else None
                         ),
                         "mean_power_mw": round(power.mean_total_mw(), 3),
                         "source": "live-stdin" if live else (

@@ -149,7 +149,10 @@ def main(argv=None) -> int:
     logging.getLogger("chip_sweep.silent").propagate = False
 
     root = os.path.join(os.path.dirname(__file__), "..", "..")
-    cfgs = traverse_configs(root, tempfile.mkdtemp(prefix="chip_sweep_"))
+    # out_base is only a config string here — nothing in this tool runs the
+    # artifact-writing modes, so point it at the system temp dir rather
+    # than littering an empty mkdtemp per invocation.
+    cfgs = traverse_configs(root, tempfile.gettempdir())
     stream_cfg: LensConfig = cfgs[args.traverse]["stream"]
     train_cfg = replace(
         cfgs[args.traverse]["offline"],
