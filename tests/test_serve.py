@@ -372,3 +372,23 @@ def test_match_events_roundtrip(server, tiny_dataset_cfg):
         assert False, "expected HTTP 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_match_events_bin_count_bounded(server):
+    """An absurd X-Bin-Count is a 400, not an allocation (the DoS posture
+    of MAX_BODY_BYTES applied to the shape)."""
+    import urllib.error
+
+    _, _, port = server
+    word = np.zeros(1, np.uint32)
+    for bad_bins in ("2000000000", "0", "-3"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/match_events",
+            data=word.tobytes(),
+            headers={"X-Bin-Count": bad_bins},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, f"expected HTTP 400 for X-Bin-Count={bad_bins}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
