@@ -1,8 +1,8 @@
 # LENS-TPU development targets
 
 .PHONY: test bench bench-large native example example-fleet example-scale \
-        infer infer-bf16 infer-quant train sweep serve stream dryrun clean \
-        online-recall
+        example-aer infer infer-bf16 infer-quant train sweep serve stream \
+        dryrun clean online-recall chip-sweep
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
