@@ -34,8 +34,14 @@ Sections (all folded into ONE printed JSON line):
             next to this script so the numbers are repo-visible even when
             the driver's default run skips the section.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...context...}
+  p50       single-query p50 latency (the third BASELINE.json tracked
+            metric): q=1 dispatches with host arrival, banded.
+
+Prints TWO JSON lines: the full verbose record first, then a COMPACT line
+with exactly the tracked metrics LAST (the driver keeps a 2000-char stdout
+tail — round 4's single giant line overflowed it and truncated off the
+headline `value`).  The full record is also snapshotted to
+BENCH_HEADLINE.json beside this script.
 """
 
 import argparse
@@ -132,6 +138,30 @@ def _roll_batches(arr: np.ndarray, iters: int):
     """Distinct pre-staged device batches: identical buffers can be served
     from the relay's execution cache (measurement discipline, BENCHMARKS.md)."""
     return [jnp.asarray(np.roll(arr, i + 1, axis=0)) for i in range(iters)]
+
+
+def _banded(pass_fn, runs: int = HEADLINE_RUNS, sleep_s: float = 2.0):
+    """Median-of-runs protocol for every headline-family figure (round-4
+    verdict ask #6): `pass_fn()` performs ONE independent measurement pass
+    and returns a rate; passes are separated by a pause so tunnel-load
+    episodes decorrelate.  Returns (median, per-pass list) so each figure
+    self-describes its spread via *_runs/min/max fields.  On the CPU
+    fallback backend a single pass suffices (no tunnel in the loop)."""
+    if jax.default_backend() == "cpu":
+        runs = 1
+    vals = []
+    for r in range(runs):
+        vals.append(float(pass_fn()))
+        if r + 1 < runs:
+            time.sleep(sleep_s)
+    return float(np.median(vals)), [round(v, 1) for v in vals]
+
+
+def _band_fields(result: dict, key: str, median: float, runs: list) -> None:
+    result[key] = round(median, 1)
+    result[f"{key.rsplit('_frames_per_sec')[0]}_runs"] = runs
+    result[f"{key.rsplit('_frames_per_sec')[0]}_min"] = min(runs)
+    result[f"{key.rsplit('_frames_per_sec')[0]}_max"] = max(runs)
 
 
 def section_headline(result: dict) -> None:
@@ -233,18 +263,53 @@ def section_headline(result: dict) -> None:
         b4 = [jnp.asarray(np.roll(intens4, i + 1, axis=0)) for i in range(8)]
         out = best_forward(params, b4[0], u)
         assert float(np.asarray(fence(out))) > 0
-        meds = []
-        for _ in range(3):
+
+        def q4_pass() -> float:
             t0 = time.perf_counter()
             outs = [best_forward(params, b, u) for b in b4]
             float(np.asarray(fence(outs[-1])))
-            meds.append(q4 * len(b4) / (time.perf_counter() - t0))
-        result["q4096_frames_per_sec"] = round(float(np.median(meds)), 1)
+            return q4 * len(b4) / (time.perf_counter() - t0)
+
+        med, band = _banded(q4_pass)
+        _band_fields(result, "q4096_frames_per_sec", med, band)
 
     result["_params"] = params  # reused by the uint8/quant/aer sections
     result["_ds"] = ds
     result["_u"] = u
     result["_sel"] = sel
+
+
+def section_p50(result: dict) -> None:
+    """Single-query p50 latency — the third BASELINE.json tracked metric
+    (round-4 verdict ask #5).  Matches run_model.py's definition: distinct
+    q=1 dispatches through the flagship forward, result ARRIVED at host
+    (the (1,100) counts fetch is one tunnel roundtrip, the same unit of
+    work runtime/serve.py's /match pays per request).  The q=1 shape is
+    warmed untimed first so its compile never lands in a timed sample."""
+    params, ds, u = result["_params"], result["_ds"], result["_u"]
+    intens_np = ds.query_intensities_downsampled(10)
+    _ = np.asarray(best_forward(params, jnp.asarray(intens_np[:1]), u))  # warm q=1
+
+    def p50_pass() -> float:
+        lat_s = []
+        for i in range(11):
+            q1 = jnp.asarray(intens_np[i : i + 1])
+            t0 = time.perf_counter()
+            out = np.asarray(best_forward(params, q1, u))
+            lat_s.append(time.perf_counter() - t0)
+            assert out.shape == (1, 100)
+        return float(np.percentile(lat_s, 50) * 1000.0)
+
+    med, band = _banded(p50_pass)
+    result["p50_ms"] = round(med, 2)
+    result["p50_runs"] = [round(v, 2) for v in band]
+    result["p50_min"] = round(min(band), 2)
+    result["p50_max"] = round(max(band), 2)
+    result["p50_note"] = (
+        "q=1 dispatch + host arrival of the counts row; through the axon "
+        "relay one roundtrip dominates (~30-50 ms tunnel RTT) — on a PCIe "
+        "host the same dispatch is sub-millisecond (see BENCHMARKS.md)"
+    )
 
 
 def section_quant(result: dict) -> None:
@@ -271,23 +336,24 @@ def section_quant(result: dict) -> None:
     assert warm.shape == (BENCH_QUERIES, 100) and warm.sum() > 0
     fence = _FENCE
     assert float(np.asarray(fence(jnp.asarray(warm)))) > 0
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [forward_counts_quantized_bucketed(qp, b, u) for b in batches]
-        last = float(np.asarray(fence(outs[-1])))
-        dt = time.perf_counter() - t0
-        assert last > 0
-        rates.append(BENCH_QUERIES * ITERS / dt)
-    result.update(
-        {
-            "quant_frames_per_sec": round(float(np.median(rates)), 1),
-            # The dispatcher's own routing predicate — labels cannot drift
-            # from behavior (speck_sim.quantized_route).
-            "quant_route": quantized_route(
-                qp, intens_np.shape[1], u.shape[0], BENCH_QUERIES
-            ),
-        }
+
+    def quant_pass() -> float:
+        rates = []
+        for _ in range(3):  # each pass is itself a median of 3 windows
+            t0 = time.perf_counter()
+            outs = [forward_counts_quantized_bucketed(qp, b, u) for b in batches]
+            last = float(np.asarray(fence(outs[-1])))
+            dt = time.perf_counter() - t0
+            assert last > 0
+            rates.append(BENCH_QUERIES * ITERS / dt)
+        return float(np.median(rates))
+
+    med, band = _banded(quant_pass)
+    _band_fields(result, "quant_frames_per_sec", med, band)
+    # The dispatcher's own routing predicate — labels cannot drift
+    # from behavior (speck_sim.quantized_route).
+    result["quant_route"] = quantized_route(
+        qp, intens_np.shape[1], u.shape[0], BENCH_QUERIES
     )
 
 
@@ -362,28 +428,35 @@ def section_aer(result: dict) -> None:
     assert warm.sum() > 0
     assert float(np.asarray(_FENCE(jnp.asarray(warm)))) > 0  # warm the fence
     iters = 6
-    rates = []
-    for w in range(3):  # median of three windows (tunnel noise)
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(iters):
-            words = make_batch(w * iters + i + 1)  # pack + h2d in-window
-            outs.append(
-                aer_counts_forward(
-                    qp, words, n_bins, n_in, t_steps, recips=recips
+    window = [0]  # distinct batch shift per window across passes
+
+    def aer_pass() -> float:
+        rates = []
+        for _ in range(3):  # median of three windows (tunnel noise)
+            w = window[0]
+            window[0] += 1
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(iters):
+                words = make_batch(w * iters + i + 1)  # pack + h2d in-window
+                outs.append(
+                    aer_counts_forward(
+                        qp, words, n_bins, n_in, t_steps, recips=recips
+                    )
                 )
-            )
-        # Same scalar-fence discipline as every other section (fetching the
-        # full result matrix inside the window is the tunnel artifact this
-        # round eliminated).
-        last = float(np.asarray(_FENCE(outs[-1])))
-        dt = time.perf_counter() - t0
-        assert last > 0
-        rates.append(n_bins * iters / dt)
-    fps = float(np.median(rates))
+            # Same scalar-fence discipline as every other section (fetching
+            # the full result matrix inside the window is the tunnel artifact
+            # round 4 eliminated).
+            last = float(np.asarray(_FENCE(outs[-1])))
+            dt = time.perf_counter() - t0
+            assert last > 0
+            rates.append(n_bins * iters / dt)
+        return float(np.median(rates))
+
+    med, band = _banded(aer_pass)
+    _band_fields(result, "aer_host_frames_per_sec", med, band)
     result.update(
         {
-            "aer_host_frames_per_sec": round(fps, 1),
             "aer_events_per_bin": events_per_bin,
             "aer_center_events_per_batch": int(warm_words.size),
             "aer_h2d_mb_per_batch": round(payload_mb, 3),
@@ -416,28 +489,36 @@ def section_uint8(result: dict) -> None:
     )
     assert warm.shape == (BENCH_QUERIES, 100)
     _ = np.asarray(_FENCE2(jnp.asarray(warm), jnp.asarray(warm)))  # warm fence
-    t0 = time.perf_counter()
-    outs = [
-        forward_counts_from_frames(params, jnp.asarray(b), u, sel_t)
-        for b in host_batches
-    ]
-    # Scalar-fence discipline (the h2d transfer is the thing measured; the
-    # d2h result fetch is not part of the variant's contract).
-    mid, last = np.asarray(_FENCE2(outs[U8_ITERS // 2], outs[-1]))
-    dt = time.perf_counter() - t0
-    assert mid > 0 and last > 0
-    fps = BENCH_QUERIES * U8_ITERS / dt
+
+    def u8_pass() -> float:
+        t0 = time.perf_counter()
+        outs = [
+            forward_counts_from_frames(params, jnp.asarray(b), u, sel_t)
+            for b in host_batches
+        ]
+        # Scalar-fence discipline (the h2d transfer is the thing measured;
+        # the d2h result fetch is not part of the variant's contract).
+        mid, last = np.asarray(_FENCE2(outs[U8_ITERS // 2], outs[-1]))
+        dt = time.perf_counter() - t0
+        assert mid > 0 and last > 0
+        return BENCH_QUERIES * U8_ITERS / dt
+
+    med, band = _banded(u8_pass)
     batch_mb = frames_np.nbytes / 1e6
+    _band_fields(result, "uint8_host_frames_per_sec", med, band)
     result.update(
         {
-            "uint8_host_frames_per_sec": round(fps, 1),
-            # Self-describing caveat (VERDICT r2 ask #8): the number is a
-            # property of this container's transport, not of the chip.
+            # Self-describing caveat (VERDICT r2 ask #8, r4 weak #2): the
+            # number is a property of this container's transport, not of the
+            # chip, and its run band STRADDLES the 10k north star — the AER
+            # ingest path (aer_host_frames_per_sec) is the deployment-shaped
+            # route that clears it with margin.
             "uint8_host_h2d_mb_per_batch": round(batch_mb, 2),
             "uint8_host_caveat": (
                 "h2d-transfer-bound in this container: each batch is "
                 f"{batch_mb:.2f} MB of uint8 through the ~50 MB/s axon "
-                "tunnel (~8.2k frames/s ceiling at Q=1024). On a PCIe host "
+                "tunnel (~8.2k frames/s ceiling at Q=1024); observed runs "
+                "straddle the 10k target (uint8_host_runs). On a PCIe host "
                 "(>=16 GB/s) the same transfer is ~0.4 ms/batch and this "
                 "variant converges to the device-resident headline."
             ),
@@ -645,7 +726,8 @@ def section_large(result: dict) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--sections", default="headline,quant,aer,uint8,sunset,stream,large",
+        "--sections",
+        default="headline,p50,quant,aer,uint8,sunset,stream,large",
         help="comma list of sections to run (headline must come first)",
     )
     parser.add_argument("--large", action="store_true", help="add the large-model section")
@@ -656,6 +738,7 @@ def main() -> None:
 
     runners = {
         "headline": section_headline,
+        "p50": section_p50,
         "quant": section_quant,
         "aer": section_aer,
         "uint8": section_uint8,
@@ -680,7 +763,45 @@ def main() -> None:
     for k in ("_params", "_ds", "_u", "_sel"):  # internal plumbing
         result.pop(k, None)
     signal.alarm(0)
+
+    # The driver records only a 2000-char TAIL of this process's stdout; in
+    # round 4 the full verbose line overflowed that window and truncated off
+    # the tracked headline fields (VERDICT r4 weak #1).  Two defenses:
+    # (a) the verbose line prints FIRST and a COMPACT line with exactly the
+    #     tracked metrics prints LAST — a 2000-char tail always contains the
+    #     compact line whole, and a last-line JSON parse gets it directly;
+    # (b) the full result is snapshotted to BENCH_HEADLINE.json beside this
+    #     script (the way section_large snapshots BENCH_LARGE.json), so the
+    #     complete record is repo-visible regardless of stdout capture.
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline",
+        "value_runs", "value_min", "value_max",
+        "p50_ms", "p50_runs",
+        "quant_frames_per_sec", "quant_runs", "quant_route",
+        "q4096_frames_per_sec", "q4096_runs",
+        "aer_host_frames_per_sec", "aer_host_runs",
+        "uint8_host_frames_per_sec", "uint8_host_runs",
+        "sunset_frames_per_sec",
+        "stream_realtime_factor_t250", "stream_realtime_factor_t1000",
+        "stream_realtime_factor_t250_chunk8",
+        "large_float_frames_per_sec", "large_float_mfu_pct_vs_bf16_peak",
+        "large_bf16_mfu_pct_vs_bf16_peak", "large_quant_frames_per_sec",
+    )
+    compact = {k: result[k] for k in compact_keys if k in result}
+    compact["detail"] = "BENCH_HEADLINE.json"
+    try:
+        import datetime
+
+        snap = dict(result)
+        snap["snapshot_utc"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds")
+        with open(os.path.join(ROOT, "BENCH_HEADLINE.json"), "w") as f:
+            json.dump(snap, f, indent=2)
+    except OSError as e:  # snapshot failure must not kill the stdout contract
+        compact["snapshot_error"] = str(e)
     print(json.dumps(result))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
