@@ -300,10 +300,28 @@ class ModelHost:
             raise ValueError(
                 f"packed word out of range for {n_bins} bins x {n_in} inputs"
             )
-        # Bucket the bin axis to the next power of two: one compiled
-        # executable per bucket instead of one per request size (padded
-        # bins receive no events and count zero; sliced off below).
+        # Bucket BOTH traced axes to the next power of two: one compiled
+        # executable per (bin-bucket, word-bucket) pair instead of one per
+        # request size.  Without the word-axis bucket, every distinct body
+        # LENGTH is a fresh XLA compile held under the device lock — an
+        # unauthenticated client could force unbounded compile churn (the
+        # DoS posture MAX_EVENT_BINS exists to prevent).  Padded bins
+        # receive no events and count zero (sliced off below); padding
+        # words are PACKED_SENTINEL, which the device scatter discards
+        # (covered by test_packed_aer_ingest_matches_dense_counts).
         n_bins_p = 1 << max(0, (n_bins - 1).bit_length())
+        n_words_p = (
+            1 if packed.size <= 1 else 1 << (packed.size - 1).bit_length()
+        )
+        if n_words_p > packed.size:
+            packed = np.concatenate(
+                [
+                    packed,
+                    np.full(
+                        n_words_p - packed.size, PACKED_SENTINEL, np.uint32
+                    ),
+                ]
+            )
         steps = substeps_for(self.cfg.timebin)
         t0 = time.perf_counter()
         with self._lock:

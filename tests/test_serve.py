@@ -374,6 +374,43 @@ def test_match_events_roundtrip(server, tiny_dataset_cfg):
         assert e.code == 400
 
 
+def test_match_events_word_axis_bucketed(server, tiny_dataset_cfg, monkeypatch):
+    """Distinct request-body LENGTHS inside one power-of-two bucket must
+    reach the device program with ONE padded word shape (sentinel-padded on
+    the host), bounding XLA compiles to ~26 bucket pairs instead of one per
+    body size — an unauthenticated client must not be able to force a fresh
+    compile under the device lock per request (ADVICE r4)."""
+    import lens_tpu.ops.events_device as ed
+    from lens_tpu.ops.events_device import pack_center_events
+
+    _, host, port = server
+    cfg = tiny_dataset_cfg
+    seen_shapes = []
+    real_fwd = ed.aer_counts_forward
+
+    def recording_fwd(qp, packed, *a, **kw):
+        seen_shapes.append(int(packed.shape[0]))
+        return real_fwd(qp, packed, *a, **kw)
+
+    monkeypatch.setattr(ed, "aer_counts_forward", recording_fwd)
+    rng = np.random.default_rng(7)
+    outs = []
+    for n_ev in (5, 7, 8):  # all in the 8-word bucket
+        bins = rng.integers(0, 2, n_ev)
+        pix = rng.integers(0, cfg.input, n_ev)
+        packed = pack_center_events(bins, pix, cfg.input)
+        outs.append(host.match_events(packed, 2))
+    assert seen_shapes == [8, 8, 8]
+    for out in outs:
+        assert len(out["matches"]) == 2
+
+    # The empty body (0 words) must also pad (to 1), not trace an N=0 shape.
+    seen_shapes.clear()
+    out = host.match_events(np.empty(0, np.uint32), 2)
+    assert seen_shapes == [1]
+    assert np.asarray(out["counts"]).sum() == 0
+
+
 def test_match_events_bin_count_bounded(server):
     """An absurd X-Bin-Count is a 400, not an allocation (the DoS posture
     of MAX_BODY_BYTES applied to the shape)."""
