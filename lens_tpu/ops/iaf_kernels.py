@@ -1,6 +1,17 @@
-"""Streamed IAF-scan Pallas kernels for GEMM-hoisted (large-model) routes.
+"""Streamed IAF-scan Pallas kernels — EXPERIMENTAL, NOT ROUTED.
 
-The hoisted forward (core/network.forward_counts, speck_sim's int8 route)
+No production path dispatches here: measured end-to-end on the v5e chip,
+these kernels are SLOWER than the XLA `lax.scan` they were built to replace
+(BENCHMARKS.md records the negative — XLA already keeps the hoisted scan's
+carries effectively resident at these widths, so the kernel's extra
+grid/DMA bookkeeping is pure overhead).  The module is kept because its
+interpret-mode tests pin the verified-reciprocal spike-count contract
+independently of the fused kernel, and because the VMEM-resident-scan
+recipe applies if a future model scale breaks XLA's fusion.  Wire-in, if
+ever, belongs behind `iaf_kernels_vmem_ok` + the exactness gates in
+speck_sim's int8 route.
+
+The design it explores: the hoisted forward (core/network.forward_counts, speck_sim's int8 route)
 computes each layer's drive as ONE big MXU GEMM and leaves only the
 elementwise IAF recurrence in a `lax.scan`.  At production scale that scan
 is the remaining bottleneck — NOT for its arithmetic but for its carry

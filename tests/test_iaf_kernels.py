@@ -27,7 +27,7 @@ def scan_oracle(h, thr, min_v):
     [
         (1.0, -1.0, 1.0),
         (1.0, None, 1.0),
-        (2184.0, -3277.0, float(np.float32(1.0) / np.float32(2184.0))),
+        (2184.0, -3277.0, "verified"),  # resolved via verified_recip below
         (7.0, -7.0, None),  # true-divide path
     ],
 )
@@ -37,6 +37,16 @@ def test_counts_and_spikes_match_scan(thr, min_v, recip):
     h = rng.normal(0, 2.0 * thr, (t_steps, q, n)).astype(np.float32)
     if thr > 1:
         h = np.rint(h)  # integer-valued drives for the integer-route modes
+    if recip == "verified":
+        # The kernel's contract is floor(v*m) exactness for PROVEN
+        # multipliers only; a raw fl32(1/thr) can fail at exact threshold
+        # multiples, so the test must exercise the proven value the
+        # production route would pass (ADVICE r4).
+        from lens_tpu.runtime.speck_sim import verified_recip
+
+        v_max = int(t_steps * np.abs(h).max()) + 1  # membrane envelope
+        recip = verified_recip(int(thr), v_max)
+        assert recip is not None, "proof must hold inside the envelope"
     ref = scan_oracle(jnp.asarray(h), thr, min_v)
     counts = np.asarray(
         iaf_seq_counts(
