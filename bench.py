@@ -625,12 +625,70 @@ def section_stream(result: dict) -> None:
             result[f"stream_realtime_factor_{suffix}"] = round(
                 bins_per_s * timebin_ms / 1000.0, 2
             )
+    # LIVE adaptive catch-up (round-5 verdict ask #4): the same stream fed
+    # as an instant stdin text feed.  Bins complete in the native ring
+    # faster than the loop drains them, so backlogs form and the adaptive
+    # live path dispatches them through the chunked multi-bin program
+    # (bit-identical; tests/test_stream.py soak test).  End-to-end
+    # INCLUDING the per-line Python text parse — the live ingest cost the
+    # recorded variants never pay.
+    import io
+    import sys
+
+    timebin_ms, n_bins = 250, 64
+    with tempfile.TemporaryDirectory() as td:
+        stream = _synth_stream(td, timebin_ms, n_bins, events_per_bin)
+        ev = np.load(stream)
+
+        def to_lines(arr) -> str:
+            return "".join(
+                f"{t:.6f} {int(x)} {int(y)} 1\n" for t, x, y, _ in arr
+            )
+
+        warm_lines = to_lines(
+            ev[ev[:, 0] < ev[0, 0] + 2 * timebin_ms / 1000.0]
+        )
+        full_lines = to_lines(ev)
+        cfg = LensConfig(
+            timebin=timebin_ms,
+            headless=True,
+            event_driven=True,
+            event_file="-",
+            data_dir=os.path.join(ROOT, "lens/dataset/"),
+            models_dir=os.path.join(ROOT, "lens/models"),
+            output_base=os.path.join(td, "out_live"),
+        )
+        saved_stdin = sys.stdin
+        logging.disable(logging.INFO)
+        try:
+            sys.stdin = io.StringIO(warm_lines)  # warm every dispatch bucket
+            run_event_driven(cfg)
+            sys.stdin = io.StringIO(full_lines)
+            run_event_driven(cfg)
+        finally:
+            sys.stdin = saved_stdin
+            logging.disable(logging.NOTSET)
+        newest = sorted(os.listdir(cfg.output_base))[-1]
+        with open(
+            os.path.join(cfg.output_base, newest, "metrics.json")
+        ) as f:
+            mlive = json.load(f)
+        result["stream_bins_per_sec_t250_live"] = mlive["bins_per_sec"]
+        result["stream_realtime_factor_t250_live"] = mlive["realtime_factor"]
+        result["stream_live_dispatch_max_bins"] = mlive.get(
+            "live_dispatch_max_bins"
+        )
+        result["stream_live_multi_dispatches"] = mlive.get(
+            "live_multi_dispatches"
+        )
+
     result["stream_events_per_bin"] = events_per_bin
     result["stream_note"] = (
         "end-to-end online loop incl. parse/raster/matcher/artifacts; "
         "host raster build overlapped with device execution (1-deep "
         "pipeline); factor >= 1.0 keeps real time. Reference cadence: "
-        "1 query/s on-chip."
+        "1 query/s on-chip.  The _live row is stdin text ingest with "
+        "adaptive backlog chunking (incl. per-line parse cost)."
     )
 
 
@@ -784,6 +842,7 @@ def main() -> None:
         "sunset_frames_per_sec",
         "stream_realtime_factor_t250", "stream_realtime_factor_t1000",
         "stream_realtime_factor_t250_chunk8",
+        "stream_realtime_factor_t250_live", "stream_live_dispatch_max_bins",
         "large_float_frames_per_sec", "large_float_mfu_pct_vs_bf16_peak",
         "large_bf16_mfu_pct_vs_bf16_peak", "large_quant_frames_per_sec",
     )

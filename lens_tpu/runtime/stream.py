@@ -63,6 +63,7 @@ STREAM_THRESHOLDS = SpikeThresholds(inp=1.0, feat=10.0, out=2.0)
 QUERIES_PER_SEQUENCE = 4  # run_speck.py:180: average every 4 timebins
 SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
+LIVE_CHUNK_MAX = 8  # live backlog catch-up bound (power-of-two buckets 2/4/8)
 
 
 def stream_dot_bound_coeffs(qparams: QuantizedParams) -> Tuple[float, float]:
@@ -332,17 +333,34 @@ def load_raw_events(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def live_aer_bin_source(cfg: LensConfig, line_source, frames_only: bool = False):
-    """Yield (raster, roi_frame) bins from a LIVE text event feed (e.g. stdin
-    via `--event_file -`): lines of "t x y [pol]" are fed incrementally into
-    the native ingest session (events_native.StreamSession — the samna
-    source->collection->readout graph as a first-party runtime), and each
-    timebin is yielded the moment it completes.  True online operation: the
-    producer and the network never wait for end-of-stream.
+    """Per-bin view of live_aer_group_source (the live --collect_data path,
+    which writes one PNG per bin and has no use for backlog grouping)."""
+    for group in live_aer_group_source(cfg, line_source, frames_only):
+        yield from group
+
+
+def live_aer_group_source(cfg: LensConfig, line_source, frames_only: bool = False):
+    """Yield GROUPS (lists) of (raster, roi_frame) bins from a LIVE text
+    event feed (e.g. stdin via `--event_file -`): lines of "t x y [pol]" are
+    parsed and fed by a PRODUCER THREAD into the native ingest session
+    (events_native.StreamSession — the samna source->collection->readout
+    graph as a first-party runtime; feed and poll are designed to run on
+    different threads, mutex-guarded in both engines).  The consumer side of
+    this generator polls the ring: when it keeps up a group is a single bin
+    ("processed the moment it completes"); when it falls behind (device
+    dispatch in flight, tunnel-load episode) completed bins QUEUE IN THE
+    RING — the ingest thread never stalls, exactly like the chip's readout
+    (run_speck.py:281-299) — and the backlog comes out as one group so the
+    caller can dispatch it through the chunked multi-bin program and catch
+    up.  True online operation: the producer and the network never wait for
+    end-of-stream.
 
     `frames_only` (live --collect_data, which discards the raster element):
     a single substep and an all-(-1) LUT make both engines skip the raster
     scatter + cumulative hot-cap work entirely — the frames are unchanged.
     """
+    import threading
+
     if frames_only:
         lut = np.full((cfg.roi_dim, cfg.roi_dim), -1, np.int32)
         substeps = 1
@@ -354,56 +372,99 @@ def live_aer_bin_source(cfg: LensConfig, line_source, frames_only: bool = False)
         roi_origin=cfg.roi_origin, hot_cap=cfg.hot_cap(),
         n_in=cfg.dims * cfg.dims,
     )
-    try:
+    done = threading.Event()
+    stop = threading.Event()
+    # Guards feed/flush against close: the consumer's finally may close the
+    # session while the feeder is blocked on line_source (e.g. a stalled
+    # stdin); every session call in the feeder takes this lock and re-checks
+    # `stop`, so close (which sets stop, then takes the lock) can never free
+    # native state under a call in flight.
+    sess_lock = threading.Lock()
+    feeder_exc: list = []
+
+    def _feeder() -> None:
         buf_t: list = []
         buf_x: list = []
         buf_y: list = []
         last_feed = time.monotonic()
 
-        def _feed_buf():
-            sess.feed(
-                np.asarray(buf_t, np.float64),
-                np.asarray(buf_x, np.uint16),
-                np.asarray(buf_y, np.uint16),
-            )
+        def _feed_buf() -> bool:
+            with sess_lock:
+                if stop.is_set():
+                    return False
+                sess.feed(
+                    np.asarray(buf_t, np.float64),
+                    np.asarray(buf_x, np.uint16),
+                    np.asarray(buf_y, np.uint16),
+                )
             buf_t.clear()
             buf_x.clear()
             buf_y.clear()
+            return True
 
-        for line in line_source:
-            parts = line.split()
-            ok = len(parts) >= 3  # excludes the optional "width height" header
-            if ok:
-                try:
-                    tv = float(parts[0])
-                    xv = int(float(parts[1]))
-                    yv = int(float(parts[2]))
-                except ValueError:
-                    ok = False
-            if ok:
-                buf_t.append(tv)
-                buf_x.append(xv)
-                buf_y.append(yv)
-            # Feed on size OR a time deadline, checked for EVERY line —
-            # including unparseable ones (heartbeats, comments): a sparse
-            # live stream must not sit on completed bins until 4096 events
-            # accumulate, and a run of non-event lines must not stall
-            # already-buffered events either — the contract is "yielded the
-            # moment the bin completes".
-            if buf_t and (
-                len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05
-            ):
-                _feed_buf()
-                last_feed = time.monotonic()
-                while (out := sess.poll()) is not None:
-                    yield out[1], out[0]
-        if buf_t:
-            _feed_buf()
-        sess.flush()
+        try:
+            for line in line_source:
+                if stop.is_set():
+                    return
+                parts = line.split()
+                ok = len(parts) >= 3  # excludes the "width height" header
+                if ok:
+                    try:
+                        tv = float(parts[0])
+                        xv = int(float(parts[1]))
+                        yv = int(float(parts[2]))
+                    except ValueError:
+                        ok = False
+                if ok:
+                    buf_t.append(tv)
+                    buf_x.append(xv)
+                    buf_y.append(yv)
+                # Feed on size OR a time deadline, checked for EVERY line —
+                # including unparseable ones (heartbeats, comments): a
+                # sparse live stream must not sit on completed bins until
+                # 4096 events accumulate, and a run of non-event lines must
+                # not stall already-buffered events either.
+                if buf_t and (
+                    len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05
+                ):
+                    if not _feed_buf():
+                        return
+                    last_feed = time.monotonic()
+            if buf_t and not _feed_buf():
+                return
+            with sess_lock:
+                if not stop.is_set():
+                    sess.flush()
+        except Exception as e:  # surfaced on the consumer side
+            feeder_exc.append(e)
+        finally:
+            done.set()
+
+    feeder = threading.Thread(target=_feeder, name="lens-live-feed", daemon=True)
+    feeder.start()
+    try:
+        while True:
+            group = []
+            while (out := sess.poll()) is not None:
+                group.append((out[1], out[0]))
+            if group:
+                yield group
+            elif done.is_set():
+                break
+            else:
+                time.sleep(0.002)  # idle poll cadence; the ring buffers
+        # Post-flush drain: bins completed by the final flush.
+        group = []
         while (out := sess.poll()) is not None:
-            yield out[1], out[0]
+            group.append((out[1], out[0]))
+        if group:
+            yield group
+        if feeder_exc:
+            raise feeder_exc[0]
     finally:
-        sess.close()
+        stop.set()
+        with sess_lock:
+            sess.close()
 
 
 def aer_bin_source(cfg: LensConfig, substeps: int):
@@ -578,12 +639,16 @@ def run_event_driven(cfg: LensConfig):
     # e.g. a missing query folder on the frame-replay path — must fail
     # before anything needs the finally-block cleanup, or a long-lived
     # in-process caller leaks a listening server + open fds per failed run.
-    if cfg.event_file == "-":
+    live = cfg.event_file == "-"
+    live_groups = None
+    bins_iter = None
+    if live:
         # LIVE ingest: text AER lines arriving on stdin feed the native ring
-        # session; bins are processed the moment they complete.
+        # session; bins are processed the moment they complete, and a queued
+        # backlog comes out as one group for chunked catch-up dispatch.
         import sys
 
-        bins_iter = live_aer_bin_source(cfg, sys.stdin)
+        live_groups = live_aer_group_source(cfg, sys.stdin)
         logger.info("Streaming LIVE from stdin (event-time integration)")
     elif cfg.event_file:
         # Event-TIME integration: each event lands in the substep its
@@ -649,6 +714,28 @@ def run_event_driven(cfg: LensConfig):
     # the collection interval only reads out counts (run_speck.py:281-299).
     v_feat = jnp.zeros((qparams.w_feat.shape[1],), jnp.int32)
     v_out = jnp.zeros((qparams.w_out.shape[1],), jnp.int32)
+
+    if live:
+        # Pre-compile the per-bin program AND every catch-up bucket before
+        # the first stdin line is read: a first-occurrence XLA compile
+        # mid-stream (minutes through the relay tunnel) would stall the live
+        # loop in exactly the backlog situation chunked catch-up exists to
+        # absorb.  Zero rasters leave the zero membranes unchanged; results
+        # are discarded, so this is a pure cache warm.
+        z1 = jnp.zeros((steps, cfg.input), jnp.int32)
+        jax.device_get(
+            stream_forward_counts_carry(qparams, z1, v_feat, v_out)[0]
+        )
+        b = 2
+        while b <= LIVE_CHUNK_MAX:
+            zk = jnp.zeros((b, steps, cfg.input), jnp.int32)
+            jax.device_get(
+                stream_forward_counts_carry_multi(qparams, zk, v_feat, v_out)[0]
+            )
+            b *= 2
+        logger.info(
+            f"Warmed live catch-up programs (1..{LIVE_CHUNK_MAX} bins/dispatch)"
+        )
 
     timebin_s = cfg.timebin / 1000.0
 
@@ -720,26 +807,32 @@ def run_event_driven(cfg: LensConfig):
             )
 
     # Recorded sources may process several bins per dispatch (outer-scan
-    # program, bit-identical carry); the LIVE stdin path stays per-bin so a
-    # bin is processed the moment it completes.
-    live = cfg.event_file == "-"
+    # program, bit-identical carry).  The LIVE stdin path is ADAPTIVE: a bin
+    # is processed the moment it completes when the loop keeps up, but a
+    # backlog of completed bins in the native ring (device stall, tunnel
+    # episode) is dispatched together through the same bit-identical chunked
+    # program — the catch-up the chip gets for free by never stalling on
+    # readout (run_speck.py:281-299).
     chunk = 1 if live else max(int(cfg.stream_chunk_bins), 1)
 
-    def _guarded(src):
+    def _guard_bin(raster) -> None:
         """Per-bin int32-overflow guard for sources without a static cap:
         the actual per-pixel per-bin event maximum plugs into the affine
         drive bound; a bin that could overflow raises before dispatch."""
+        pix_max = float(raster.sum(axis=0, dtype=np.int64).max(initial=0))
+        if bound_a * pix_max + bound_b >= 2**31:
+            raise ValueError(
+                f"streaming drive bound {bound_a * pix_max + bound_b:.3g} "
+                f"exceeds int32 (per-pixel bin max {pix_max:.0f}); enable "
+                "--hot_pixel_rate or shorten --timebin"
+            )
+
+    def _guarded(src):
         for raster, frame in src:
-            pix_max = float(raster.sum(axis=0, dtype=np.int64).max(initial=0))
-            if bound_a * pix_max + bound_b >= 2**31:
-                raise ValueError(
-                    f"streaming drive bound {bound_a * pix_max + bound_b:.3g} "
-                    f"exceeds int32 (per-pixel bin max {pix_max:.0f}); enable "
-                    "--hot_pixel_rate or shorten --timebin"
-                )
+            _guard_bin(raster)
             yield raster, frame
 
-    if not static_cap_holds:
+    if not static_cap_holds and bins_iter is not None:
         bins_iter = _guarded(bins_iter)
 
     def _chunked(src):
@@ -751,6 +844,23 @@ def run_event_driven(cfg: LensConfig):
                 buf = []
         if buf:
             yield buf
+
+    if live:
+
+        def _live_grouped(src):
+            # Oversized backlogs split into LIVE_CHUNK_MAX slices (compile
+            # buckets stay bounded: 1, 2, 4, 8 — all warmed above).
+            for group in src:
+                if not static_cap_holds:
+                    for raster, _ in group:
+                        _guard_bin(raster)
+                for i in range(0, len(group), LIVE_CHUNK_MAX):
+                    yield group[i : i + LIVE_CHUNK_MAX]
+
+        groups_iter = _live_grouped(live_groups)
+    else:
+        groups_iter = _chunked(bins_iter)
+    dispatch_stats = {"max": 0, "multi": 0}  # live catch-up observability
 
     # try/finally: a Ctrl-C or device error mid-stream must still leave the
     # artifacts current (the per-bin save this flush schedule replaced was
@@ -769,18 +879,28 @@ def run_event_driven(cfg: LensConfig):
     t_run_start = time.monotonic()
     try:
         start = 0
-        for group in _chunked(bins_iter):
+        for group in groups_iter:
             k_real = len(group)
-            if chunk == 1:
+            dispatch_stats["max"] = max(dispatch_stats["max"], k_real)
+            if k_real > 1:
+                dispatch_stats["multi"] += 1
+            # Live groups use the smallest warmed power-of-two bucket that
+            # fits the backlog; recorded sources always pad to `chunk`.
+            bucket = (
+                (1 if k_real == 1 else 1 << (k_real - 1).bit_length())
+                if live
+                else chunk
+            )
+            if bucket == 1:
                 counts_dev, v_feat, v_out, feat_dev = stream_forward_counts_carry(
                     qparams, jnp.asarray(group[0][0]), v_feat, v_out
                 )
             else:
                 rasters = np.zeros(
-                    (chunk,) + group[0][0].shape, np.int32
+                    (bucket,) + group[0][0].shape, np.int32
                 )  # zero-raster padding leaves membranes unchanged (v < thr
                 # after any reset, so zero drive fires nothing) — one
-                # compiled executable for the final partial chunk too
+                # compiled executable per bucket, partial chunks included
                 for j, (raster, _) in enumerate(group):
                     rasters[j] = raster
                 counts_dev, v_feat, v_out, feat_dev = (
@@ -827,26 +947,28 @@ def run_event_driven(cfg: LensConfig):
         wall = time.monotonic() - t_run_start
         try:
             n_done = drained["n"]  # persisted bins, not just dispatched ones
+            summary = {
+                "bins_processed": int(n_done),
+                "matches_logged": int(matcher.n_matches_total),
+                "timebin_ms": cfg.timebin,
+                "wall_s": round(wall, 2),
+                "bins_per_sec": round(n_done / wall, 2) if wall > 0 else None,
+                "realtime_factor": (
+                    round(n_done * timebin_s / wall, 2) if wall > 0 else None
+                ),
+                "mean_power_mw": round(power.mean_total_mw(), 3),
+                "source": "live-stdin" if live else (
+                    cfg.event_file or "frame-replay"
+                ),
+                "stream_chunk_bins": chunk,
+            }
+            if live:
+                # Catch-up observability: how far behind the loop ever fell
+                # and how many dispatches used the chunked program.
+                summary["live_dispatch_max_bins"] = dispatch_stats["max"]
+                summary["live_multi_dispatches"] = dispatch_stats["multi"]
             with open(os.path.join(output_folder, "metrics.json"), "w") as f:
-                json.dump(
-                    {
-                        "bins_processed": int(n_done),
-                        "matches_logged": int(matcher.n_matches_total),
-                        "timebin_ms": cfg.timebin,
-                        "wall_s": round(wall, 2),
-                        "bins_per_sec": round(n_done / wall, 2) if wall > 0 else None,
-                        "realtime_factor": (
-                            round(n_done * timebin_s / wall, 2) if wall > 0 else None
-                        ),
-                        "mean_power_mw": round(power.mean_total_mw(), 3),
-                        "source": "live-stdin" if live else (
-                            cfg.event_file or "frame-replay"
-                        ),
-                        "stream_chunk_bins": chunk,
-                    },
-                    f,
-                    indent=2,
-                )
+                json.dump(summary, f, indent=2)
         except OSError:
             pass  # summary must never mask the primary artifacts' close
     logger.info(f"Mean modeled chip power: {power.mean_total_mw():.2f} mW")

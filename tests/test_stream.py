@@ -521,3 +521,66 @@ def test_recorded_gap_guard_keeps_largest_segment(tiny_dataset_cfg, tmp_path):
     for (r1, f1), (r2, f2) in zip(clean, bad):
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(f1, f2)
+
+
+def test_live_adaptive_chunking_soak(tiny_dataset_cfg, tmp_path, monkeypatch):
+    """VERDICT r4 ask #4: bursty stdin arriving faster than real time must
+    come out of the live ring as backlog GROUPS and be dispatched through
+    the chunked catch-up program, with artifacts bit-identical to the
+    forced per-bin live loop on the same feed (the chunked program itself
+    is already proven bit-identical; this pins the adaptive grouping)."""
+    import io
+    import json
+    import sys
+    from dataclasses import replace
+
+    import lens_tpu.runtime.stream as stream_mod
+    from lens_tpu.runtime.stream import run_event_driven
+    from lens_tpu.tools.make_event_stream import synthesize_events
+    from lens_tpu.train_model import run_training
+
+    cfg = tiny_dataset_cfg
+    model_path = os.path.join(cfg.models_dir, cfg.model_name(".npz"))
+    if not os.path.exists(model_path):
+        run_training(replace(cfg, train_model=True))
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 90, (24, cfg.roi_dim, cfg.roi_dim)).astype(
+        np.float64
+    )
+    events = synthesize_events(
+        frames, cfg.timebin / 1000.0, 1000, roi_origin=cfg.roi_origin, seed=4
+    )
+    lines = "".join(
+        f"{t:.6f} {int(x)} {int(y)} {int(p)}\n" for t, x, y, p in events
+    )
+
+    def live_run(out_name):
+        out_base = str(tmp_path / out_name)
+        monkeypatch.setattr(sys, "stdin", io.StringIO(lines))
+        run_event_driven(
+            replace(
+                cfg,
+                event_driven=True,
+                headless=True,
+                event_file="-",
+                output_base=out_base,
+            )
+        )
+        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        spikes = np.load(os.path.join(newest, "spike_data.npy"))
+        with open(os.path.join(newest, "metrics.json")) as f:
+            metrics = json.load(f)
+        return spikes, metrics
+
+    spikes_adaptive, m_adaptive = live_run("live_adaptive")
+    # A 4096-line feed spans ~4 bins at 1000 events/bin and 20 ms bins, so
+    # completed bins queue in the ring and must surface as multi-bin
+    # catch-up dispatches.
+    assert m_adaptive["live_multi_dispatches"] > 0
+    assert m_adaptive["live_dispatch_max_bins"] >= 2
+
+    monkeypatch.setattr(stream_mod, "LIVE_CHUNK_MAX", 1)
+    spikes_per_bin, m_per_bin = live_run("live_per_bin")
+    assert m_per_bin["live_dispatch_max_bins"] == 1
+    np.testing.assert_array_equal(spikes_adaptive, spikes_per_bin)
+    assert m_adaptive["bins_processed"] == m_per_bin["bins_processed"] > 0
