@@ -218,16 +218,25 @@ def train_layer_scan(
     total_steps: int,
     prev_fire_rate: Optional[jnp.ndarray] = None,
     start_step: int | jnp.ndarray = 0,
+    ip_rate: Optional[jnp.ndarray] = None,
+    stdp_rate: Optional[jnp.ndarray] = None,
 ) -> LayerState:
     """Train one layer over an ordered stream in a single device scan
     (replaces the reference's epochs x DataLoader Python loop,
     train_model.py:155-182).  `start_step` offsets the annealing clock so a
-    full run can be split into checkpointable chunks."""
+    full run can be split into checkpointable chunks.
+
+    `ip_rate`/`stdp_rate`: optional TRACED overrides of the static
+    hyper.ip_rate/stdp_rate — the widened sweep vmaps trials with per-trial
+    learning rates through one program, which a static (hashable) hyper
+    cannot carry.  Semantically identical to baking the same values into
+    `hyper`."""
     assert not (hyper.spk_force and prev_fire_rate is None), (
         "spike-forced layers need prev_fire_rate (the forced rule divides "
         "presynaptic spikes by the previous layer's fire rates)"
     )
-    ip0, stdp0 = hyper.ip_rate, hyper.stdp_rate
+    ip0 = hyper.ip_rate if ip_rate is None else ip_rate
+    stdp0 = hyper.stdp_rate if stdp_rate is None else stdp_rate
 
     def body(carry, inp):
         st, step = carry

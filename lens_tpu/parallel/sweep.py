@@ -18,6 +18,13 @@ Search space matches optimizer.py:63-67: fire_l_feat in linspace(0.1, 0.49,
 8), objective AUC = trapezoid(Recall@N over N=[1,5,10,15,20,25])
 (optimizer.py:100-102).  W&B logging is optional; results always land in
 sweep_results.json.
+
+`wide=True` (round-5 chip-regime sweep) extends the space beyond the
+reference triple: output-layer threshold/fire ranges, per-layer ip/stdp
+learning rates (routed through train_layer_scan's traced overrides so
+trials stay in one vmapped program), and exc/inh connection probabilities;
+per-trial `sequence_length` is honored at scoring time.  `trials=[...]`
+injects an explicit list (grid refinement, reproducibility).
 """
 
 from __future__ import annotations
@@ -53,12 +60,21 @@ class SweepResult:
     # chip-regime sweep re-evaluate trials through the STREAMING path)
 
 
-def sample_search_space(rng: np.random.Generator, n_trials: int) -> List[dict]:
-    """Random draws from the reference's grid (optimizer.py:63-67)."""
+def sample_search_space(
+    rng: np.random.Generator, n_trials: int, wide: bool = False
+) -> List[dict]:
+    """Random draws from the reference's grid (optimizer.py:63-67).
+
+    `wide` (round-5 chip-regime sweep): extends the space beyond the
+    reference's feature triple with every trainable-regime knob that keeps
+    trials in ONE vmapped program — output-layer threshold/fire ranges,
+    per-layer ip/stdp learning rates (log-uniform around the defaults),
+    and the exc/inh connection probabilities.  All keys are LensConfig
+    fields, so a trial dict applies with dataclasses.replace."""
     fl = np.linspace(0.1, 0.49, 16)
     fh = np.linspace(0.5, 1.0, 16)
     th = np.linspace(0.1, 0.5, 8)
-    return [
+    trials = [
         {
             "fire_l_feat": float(rng.choice(fl)),
             "fire_h_feat": float(rng.choice(fh)),
@@ -66,6 +82,29 @@ def sample_search_space(rng: np.random.Generator, n_trials: int) -> List[dict]:
         }
         for _ in range(n_trials)
     ]
+    if wide:
+        th_out = np.linspace(0.1, 0.75, 8)  # default 0.5
+        fo = np.linspace(0.2, 0.8, 13)  # default 0.5/0.5
+        p_exc = np.linspace(0.1, 0.6, 11)  # default 0.35
+        p_inh = np.linspace(0.25, 0.95, 15)  # default 0.75
+
+        def log_u(lo: float, hi: float) -> float:
+            return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+        for t in trials:
+            f1, f2 = sorted(rng.choice(fo, 2))
+            t.update(
+                thr_h_out=float(rng.choice(th_out)),
+                fire_l_out=float(f1),
+                fire_h_out=float(f2),
+                ip_rate_feat=log_u(0.005, 0.08),  # default 0.02
+                stdp_rate_feat=log_u(0.0025, 0.04),  # default 0.01
+                ip_rate_out=log_u(0.005, 0.08),
+                stdp_rate_out=log_u(0.0025, 0.04),
+                f_exc=float(rng.choice(p_exc)),
+                f_inh=float(rng.choice(p_inh)),
+            )
+    return trials
 
 
 def _stack_states(states):
@@ -81,10 +120,27 @@ def run_sweep(
     use_wandb: bool = False,
     shard_trials: Optional[bool] = None,
     return_params: bool = False,
+    wide: bool = False,
+    trials: Optional[List[dict]] = None,
 ) -> SweepResult:
+    """`wide` samples the extended chip-regime space (see
+    sample_search_space) and routes per-trial learning rates through the
+    traced train_layer_scan overrides.  `trials` injects an explicit trial
+    list (grid refinement around a winner, reproducibility) instead of
+    sampling; every key must be a LensConfig field name."""
     log = logger.info if logger else print
     rng = np.random.default_rng(seed)
-    trials = sample_search_space(rng, n_trials)
+    if trials is None:
+        trials = sample_search_space(rng, n_trials, wide=wide)
+    else:
+        trials = [dict(t) for t in trials]
+        n_trials = len(trials)
+    # Per-trial learning rates need the traced-override path (a static
+    # hyper cannot vary under vmap); engaged exactly when any trial
+    # carries a rate key, so the classic 3-dim sweep keeps its original
+    # (bit-tested) static-rate program.
+    rate_keys = ("ip_rate_feat", "stdp_rate_feat", "ip_rate_out", "stdp_rate_out")
+    dynamic_rates = any(k in t for t in trials for k in rate_keys)
 
     # Mesh-shard the trial axis when a multi-chip slice is present (default).
     mesh = None
@@ -127,17 +183,36 @@ def run_sweep(
     feat_states, out_states = [], []
     feat_hyper = out_hyper = None
     for t in trials:
-        tcfg = replace(
-            cfg,
-            fire_l_feat=t["fire_l_feat"],
-            fire_h_feat=t["fire_h_feat"],
-            thr_h_feat=t["thr_h_feat"],
-        )
+        tcfg = replace(cfg, **t)  # every trial key is a LensConfig field
         (fs, feat_hyper), (os_, out_hyper) = init_training_layers(tcfg, k_init)
         feat_states.append(fs)
         out_states.append(os_)
     feat_b = _stack_states(feat_states)
     out_b = _stack_states(out_states)
+    if dynamic_rates:
+        # Shared static hypers carry the LAST trial's rates; neutralize any
+        # accidental use by pinning them to the config defaults — the real
+        # per-trial rates flow through the traced overrides below.
+        feat_hyper = feat_hyper._replace(
+            ip_rate=cfg.ip_rate_feat, stdp_rate=cfg.stdp_rate_feat
+        )
+        out_hyper = out_hyper._replace(
+            ip_rate=cfg.ip_rate_out, stdp_rate=cfg.stdp_rate_out
+        )
+        feat_ip = jnp.asarray(
+            [t.get("ip_rate_feat", cfg.ip_rate_feat) for t in trials], jnp.float32
+        )
+        feat_sr = jnp.asarray(
+            [t.get("stdp_rate_feat", cfg.stdp_rate_feat) for t in trials],
+            jnp.float32,
+        )
+        out_ip = jnp.asarray(
+            [t.get("ip_rate_out", cfg.ip_rate_out) for t in trials], jnp.float32
+        )
+        out_sr = jnp.asarray(
+            [t.get("stdp_rate_out", cfg.stdp_rate_out) for t in trials],
+            jnp.float32,
+        )
 
     if mesh is not None:
         # Trial axis -> 'data' mesh axis; shared tensors replicated.  XLA
@@ -147,6 +222,11 @@ def run_sweep(
         trial_sharding = NamedSharding(mesh, P("data"))
         feat_b = jax.device_put(feat_b, trial_sharding)
         out_b = jax.device_put(out_b, trial_sharding)
+        if dynamic_rates:
+            feat_ip, feat_sr, out_ip, out_sr = (
+                jax.device_put(a, trial_sharding)
+                for a in (feat_ip, feat_sr, out_ip, out_sr)
+            )
         repl = NamedSharding(mesh, P())
         X = jax.device_put(X, repl)
         idx_all = jax.device_put(idx_all, repl)
@@ -176,13 +256,26 @@ def run_sweep(
     # uses start_step; resume-equality is tested).
     block = max(1, min(32 * n, 4096))
 
-    def feat_chunk(st_b, sl, start):
-        return jax.vmap(
-            lambda st: train_layer_scan(
-                st, feat_hyper, X[order_f[sl]], idx_all[order_f[sl]],
-                total_steps=total_f, start_step=start,
-            )
-        )(st_b)
+    if dynamic_rates:
+
+        def feat_chunk(st_b, sl, start):
+            return jax.vmap(
+                lambda st, ip, sr: train_layer_scan(
+                    st, feat_hyper, X[order_f[sl]], idx_all[order_f[sl]],
+                    total_steps=total_f, start_step=start,
+                    ip_rate=ip, stdp_rate=sr,
+                )
+            )(st_b, feat_ip, feat_sr)
+
+    else:
+
+        def feat_chunk(st_b, sl, start):
+            return jax.vmap(
+                lambda st: train_layer_scan(
+                    st, feat_hyper, X[order_f[sl]], idx_all[order_f[sl]],
+                    total_steps=total_f, start_step=start,
+                )
+            )(st_b)
 
     for s0 in range(0, total_f, block):
         feat_b = feat_chunk(feat_b, slice(s0, min(s0 + block, total_f)), s0)
@@ -193,13 +286,22 @@ def run_sweep(
 
     for s0 in range(0, total_o, block):
         sl = slice(s0, min(s0 + block, total_o))
-        out_b = jax.vmap(
-            lambda spikes, fire, ost: train_layer_scan(
-                ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
-                total_steps=total_o, start_step=s0,
-                prev_fire_rate=fire,
-            )
-        )(spikes_b, feat_b.fire_rate, out_b)
+        if dynamic_rates:
+            out_b = jax.vmap(
+                lambda spikes, fire, ost, ip, sr: train_layer_scan(
+                    ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
+                    total_steps=total_o, start_step=s0,
+                    prev_fire_rate=fire, ip_rate=ip, stdp_rate=sr,
+                )
+            )(spikes_b, feat_b.fire_rate, out_b, out_ip, out_sr)
+        else:
+            out_b = jax.vmap(
+                lambda spikes, fire, ost: train_layer_scan(
+                    ost, out_hyper, spikes[order_o[sl]], idx_all[order_o[sl]],
+                    total_steps=total_o, start_step=s0,
+                    prev_fire_rate=fire,
+                )
+            )(spikes_b, feat_b.fire_rate, out_b)
 
     # --- batched inference -------------------------------------------------
     params_b = LensParams(
@@ -219,11 +321,17 @@ def run_sweep(
     gt_path = os.path.join(
         cfg.data_dir, cfg.dataset, cfg.camera, f"{cfg.reference}_{cfg.query}_GT.npy"
     )
-    GTtol = make_gt_tolerant(np.load(gt_path), cfg.sequence_length, cfg.GT_tolerance)
+    GT = np.load(gt_path)
+    gttol_cache: dict = {}  # per-trial sequence_length -> cropped+dilated GT
     recalls = np.zeros((n_trials, len(RECALL_NS)))
     for i in range(n_trials):
-        dist = np.asarray(sequence_conv(counts_b[i], cfg.sequence_length))
-        recalls[i] = [recall_at_k(dist, GTtol, K=k) for k in RECALL_NS]
+        seq_i = int(trials[i].get("sequence_length", cfg.sequence_length))
+        if seq_i not in gttol_cache:
+            gttol_cache[seq_i] = make_gt_tolerant(GT, seq_i, cfg.GT_tolerance)
+        dist = np.asarray(sequence_conv(counts_b[i], seq_i))
+        recalls[i] = [
+            recall_at_k(dist, gttol_cache[seq_i], K=k) for k in RECALL_NS
+        ]
     # numpy 2 renamed trapz; support both (pyproject pins only "numpy").
     _trapezoid = getattr(np, "trapezoid", None) or np.trapz
     auc = _trapezoid(recalls, np.array(RECALL_NS), axis=1)

@@ -96,17 +96,16 @@ def compensate(params: LensParams) -> LensParams:
     )
 
 
-def stream_eval(
+def stream_counts(
     params: LensParams,
     rasters: np.ndarray,
-    GT: np.ndarray,
     cfg: LensConfig,
     compensated: bool = False,
-) -> Tuple[List[float], float]:
-    """(online Recall@N, online AUC) of one model through the exact
-    streaming stack: 10/2-compensated discretization, chunked carry
-    forward, OnlineMatcher.  `compensated=True` for checkpoints already
-    saved in the pre-scaled deployment form (the bundled chip-example)."""
+) -> np.ndarray:
+    """(n_bins, n_places) per-bin output counts of one model through the
+    exact streaming forward: 10/2-compensated discretization + chunked
+    carry.  `compensated=True` for checkpoints already saved in the
+    pre-scaled deployment form (the bundled chip-example)."""
     rescaled = params if compensated else compensate(params)
     qp = discretize(rescaled, STREAM_THRESHOLDS, cfg.min_v_mem)
     counts, _, _, _ = stream_forward_counts_carry_multi(
@@ -115,11 +114,24 @@ def stream_eval(
         jnp.zeros((qp.w_feat.shape[1],), jnp.int32),
         jnp.zeros((qp.w_out.shape[1],), jnp.int32),
     )
-    counts = np.asarray(counts)
+    return np.asarray(counts)
+
+
+def score_counts(
+    counts: np.ndarray,
+    GT: np.ndarray,
+    cfg: LensConfig,
+    sequence_length: int = 0,
+) -> Tuple[List[float], float]:
+    """(online Recall@N, online AUC) of per-bin counts through the
+    OnlineMatcher at the given sequence length (0 = the config's).  The
+    forward is sequence-independent, so one stream_counts result scores at
+    every candidate sequence length for free."""
+    seq = int(sequence_length) or cfg.sequence_length
     with tempfile.TemporaryDirectory() as tmp:
         matcher = OnlineMatcher(
             cfg.reference_places,
-            cfg.sequence_length,
+            seq,
             tmp,
             logging.getLogger("chip_sweep.silent"),
         )
@@ -129,6 +141,22 @@ def stream_eval(
         S = np.load(os.path.join(tmp, "similarity_matrix.npy")).T
     recalls = online_recall(S, GT, cfg.GT_tolerance)
     return recalls, float(_trapezoid(recalls, np.array(RECALL_NS)))
+
+
+def stream_eval(
+    params: LensParams,
+    rasters: np.ndarray,
+    GT: np.ndarray,
+    cfg: LensConfig,
+    compensated: bool = False,
+    sequence_length: int = 0,
+) -> Tuple[List[float], float]:
+    """stream_counts + score_counts in one call (the classic entry point;
+    CI pins the shipped chip-example winner through it)."""
+    return score_counts(
+        stream_counts(params, rasters, cfg, compensated), GT, cfg,
+        sequence_length,
+    )
 
 
 def main(argv=None) -> int:
@@ -143,6 +171,35 @@ def main(argv=None) -> int:
     p.add_argument("--events_per_bin", type=int, default=EVENTS_PER_BIN)
     p.add_argument("--save_best", action="store_true")
     p.add_argument("--json", default="", help="write results JSON here")
+    p.add_argument(
+        "--wide",
+        action="store_true",
+        help="widened chip-regime space (round-5): output-layer thr/fire "
+        "ranges, per-layer ip/stdp rates, exc/inh connection probabilities "
+        "(parallel/sweep.sample_search_space wide=True)",
+    )
+    p.add_argument(
+        "--seqs",
+        default="",
+        help="comma list of scoring sequence lengths; the forward is "
+        "seq-independent so every trial AND the pretrained baseline are "
+        "scored at each, best kept (default: the traverse's)",
+    )
+    p.add_argument(
+        "--timebin",
+        type=int,
+        default=0,
+        help="override the traverse timebin in ms (regime dimension); the "
+        "default events/bin scales with it so the sensor rate is held",
+    )
+    p.add_argument(
+        "--feature_multiplier",
+        type=float,
+        default=0.0,
+        help="override the feature-layer width multiplier (capacity "
+        "dimension; trials train at this width, the pretrained baseline "
+        "keeps its shipped architecture)",
+    )
     args = p.parse_args(argv)
 
     logging.getLogger("chip_sweep.silent").addHandler(logging.NullHandler())
@@ -159,26 +216,64 @@ def main(argv=None) -> int:
         epoch_feat=args.epoch_feat,
         epoch_out=args.epoch_out,
     )
+    events_per_bin = args.events_per_bin
+    if args.timebin and args.timebin != stream_cfg.timebin:
+        if events_per_bin == EVENTS_PER_BIN:
+            # Hold the sensor event RATE, not the per-bin count.
+            events_per_bin = round(
+                EVENTS_PER_BIN * args.timebin / stream_cfg.timebin
+            )
+        stream_cfg = replace(stream_cfg, timebin=args.timebin)
+        train_cfg = replace(train_cfg, timebin=args.timebin)
+    if args.feature_multiplier:
+        train_cfg = replace(
+            train_cfg, feature_multiplier=args.feature_multiplier
+        )
     GT = np.load(gt_path_for(stream_cfg))
+    seqs = [int(s) for s in args.seqs.split(",") if s.strip()] or [
+        stream_cfg.sequence_length
+    ]
 
-    print(f"building stream rasters ({args.events_per_bin} events/bin)...")
-    rasters = build_stream_rasters(stream_cfg, args.events_per_bin, args.seed)
+    print(f"building stream rasters ({events_per_bin} events/bin)...")
+    rasters = build_stream_rasters(stream_cfg, events_per_bin, args.seed)
 
-    print(f"training {args.n_trials} trials (one vmapped program)...")
+    print(
+        f"training {args.n_trials} trials (one vmapped program"
+        + (", widened space" if args.wide else "")
+        + ")..."
+    )
     sweep = run_sweep(
-        train_cfg, n_trials=args.n_trials, seed=args.seed, return_params=True
+        train_cfg,
+        n_trials=args.n_trials,
+        seed=args.seed,
+        return_params=True,
+        wide=args.wide,
     )
 
-    # Baseline: the bundled pretrained checkpoint through the same stream.
+    # Baseline: the bundled pretrained checkpoint through the same stream,
+    # scored at every candidate sequence length (its best is the bar).
     pretrained = checkpoint.load_model(
         stream_cfg.models_dir, stream_cfg.model_name()
     )
-    base_recalls, base_auc = stream_eval(pretrained, rasters, GT, stream_cfg)
+    base_counts = stream_counts(pretrained, rasters, stream_cfg)
+    base_by_seq = {
+        s: score_counts(base_counts, GT, stream_cfg, s) for s in seqs
+    }
+    base_seq = max(base_by_seq, key=lambda s: base_by_seq[s][1])
+    base_recalls, base_auc = base_by_seq[base_seq]
 
     rows = []
     results = []
     for i, params in enumerate(sweep.params):
-        online, auc_on = stream_eval(params, rasters, GT, stream_cfg)
+        counts = stream_counts(params, rasters, stream_cfg)
+        t_seqs = (
+            [int(sweep.trials[i]["sequence_length"])]
+            if "sequence_length" in sweep.trials[i]
+            else seqs
+        )
+        by_seq = {s: score_counts(counts, GT, stream_cfg, s) for s in t_seqs}
+        s_best = max(by_seq, key=lambda s: by_seq[s][1])
+        online, auc_on = by_seq[s_best]
         results.append(
             {
                 "trial": i,
@@ -186,16 +281,30 @@ def main(argv=None) -> int:
                 "offline_auc": float(sweep.auc[i]),
                 "online": online,
                 "online_auc": auc_on,
+                "sequence_length": s_best,
+                "online_auc_by_seq": {
+                    str(s): round(by_seq[s][1], 2) for s in t_seqs
+                },
             }
         )
-        rows.append([i, round(float(sweep.auc[i]), 2), online[0], round(auc_on, 2)])
+        rows.append(
+            [i, round(float(sweep.auc[i]), 2), online[0], round(auc_on, 2), s_best]
+        )
     best = max(range(len(results)), key=lambda i: results[i]["online_auc"])
 
     print(
         ascii_table(
-            ["trial", "offline AUC", "online R@1", "online AUC"],
+            ["trial", "offline AUC", "online R@1", "online AUC", "seq"],
             rows
-            + [["pretrained(x10/x2)", "-", base_recalls[0], round(base_auc, 2)]],
+            + [
+                [
+                    "pretrained(x10/x2)",
+                    "-",
+                    base_recalls[0],
+                    round(base_auc, 2),
+                    base_seq,
+                ]
+            ],
         )
     )
     print(
@@ -205,7 +314,12 @@ def main(argv=None) -> int:
     )
 
     if args.save_best:
-        name = stream_cfg.model_name().replace(
+        name_cfg = (
+            replace(stream_cfg, feature_multiplier=args.feature_multiplier)
+            if args.feature_multiplier
+            else stream_cfg
+        )
+        name = name_cfg.model_name().replace(
             stream_cfg.reference, f"chip-{args.traverse}", 1
         )
         # Save in the PRE-COMPENSATED deployment form: `main.py
@@ -222,6 +336,8 @@ def main(argv=None) -> int:
                 {
                     "chip_sweep": results[best]["hyper"],
                     "online_recall": results[best]["online"],
+                    "sequence_length": results[best]["sequence_length"],
+                    "timebin": stream_cfg.timebin,
                     "regime": (
                         "streaming 10/2; weights PRE-compensated x10/x2 — "
                         "use with --event_driven, not the offline pipeline"
@@ -239,7 +355,20 @@ def main(argv=None) -> int:
                     "best": best,
                     "pretrained_online": base_recalls,
                     "pretrained_online_auc": base_auc,
-                    "events_per_bin": args.events_per_bin,
+                    "pretrained_sequence_length": base_seq,
+                    "pretrained_online_auc_by_seq": {
+                        str(s): round(base_by_seq[s][1], 2) for s in seqs
+                    },
+                    "events_per_bin": events_per_bin,
+                    "timebin": stream_cfg.timebin,
+                    "wide": args.wide,
+                    "seqs_scored": seqs,
+                    "feature_multiplier": (
+                        args.feature_multiplier or stream_cfg.feature_multiplier
+                    ),
+                    "epoch_feat": args.epoch_feat,
+                    "epoch_out": args.epoch_out,
+                    "seed": args.seed,
                 },
                 f,
                 indent=2,

@@ -75,3 +75,64 @@ def test_mesh_sharded_sweep_matches_unsharded(tiny_dataset_cfg):
     np.testing.assert_array_equal(sharded.auc, unsharded.auc)
     assert sharded.best == unsharded.best
     assert len(sharded.trials) == 3  # padding dropped from results
+
+
+def test_wide_space_keys_are_config_fields():
+    """Every widened-space key must be a LensConfig field (trial dicts
+    apply via dataclasses.replace), with sane ordered ranges."""
+    from dataclasses import fields
+
+    from lens_tpu.config import LensConfig
+
+    names = {f.name for f in fields(LensConfig)}
+    rng = np.random.default_rng(1)
+    trials = sample_search_space(rng, 32, wide=True)
+    for t in trials:
+        assert set(t) <= names
+        assert t["fire_l_out"] <= t["fire_h_out"]
+        assert 0.005 <= t["ip_rate_feat"] <= 0.08
+        assert 0.0025 <= t["stdp_rate_out"] <= 0.04
+        assert 0.1 <= t["f_exc"] <= 0.6
+        assert 0.25 <= t["f_inh"] <= 0.95
+
+
+def test_dynamic_rate_path_matches_static(tiny_dataset_cfg):
+    """Explicit rate keys equal to the config defaults must reproduce the
+    static-hyper program bit-for-bit: the traced learning-rate overrides
+    change plumbing, not semantics."""
+    cfg = replace(tiny_dataset_cfg, epoch_feat=2, epoch_out=2)
+    base_trials = [
+        {"fire_l_feat": 0.2, "fire_h_feat": 0.7, "thr_h_feat": 0.3},
+        {"fire_l_feat": 0.4, "fire_h_feat": 0.5, "thr_h_feat": 0.1},
+    ]
+    rate_trials = [
+        dict(
+            t,
+            ip_rate_feat=cfg.ip_rate_feat,
+            stdp_rate_feat=cfg.stdp_rate_feat,
+            ip_rate_out=cfg.ip_rate_out,
+            stdp_rate_out=cfg.stdp_rate_out,
+        )
+        for t in base_trials
+    ]
+    a = run_sweep(cfg, trials=base_trials, return_params=True)
+    b = run_sweep(cfg, trials=rate_trials, return_params=True)
+    np.testing.assert_array_equal(a.recalls, b.recalls)
+    for pa, pb in zip(a.params, b.params):
+        np.testing.assert_array_equal(pa.w_feat, pb.w_feat)
+        np.testing.assert_array_equal(pa.w_out, pb.w_out)
+        np.testing.assert_array_equal(pa.thr_feat, pb.thr_feat)
+        np.testing.assert_array_equal(pa.thr_out, pb.thr_out)
+
+
+def test_wide_sweep_runs_and_varies(tiny_dataset_cfg, tmp_path):
+    """The widened space trains in one vmapped program and the new
+    dimensions actually change the trained models; per-trial
+    sequence_length is honored at scoring time."""
+    cfg = replace(tiny_dataset_cfg, epoch_feat=2, epoch_out=2)
+    trials = sample_search_space(np.random.default_rng(7), 3, wide=True)
+    trials[0]["sequence_length"] = 1
+    res = run_sweep(cfg, trials=trials, return_params=True)
+    assert res.recalls.shape == (3, 6)
+    # Distinct connection probabilities / rates => distinct trained weights.
+    assert not np.array_equal(res.params[0].w_feat, res.params[1].w_feat)
