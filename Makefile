@@ -2,7 +2,7 @@
 
 .PHONY: test bench bench-large native example example-fleet example-scale \
         example-aer infer infer-bf16 infer-quant train sweep serve stream \
-        dryrun clean online-recall chip-sweep
+        dryrun clean online-recall chip-sweep results
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -55,6 +55,15 @@ chip-sweep:
 
 dryrun:
 	python __graft_entry__.py --dryrun
+
+# One-command reproduction of every committed result artifact (RESULTS.md
+# maps each artifact to its command, git SHA, and expected band).  Runs
+# sequentially — the tunneled TPU serializes device claims, so never run
+# two of these targets concurrently yourself.
+results: bench-large online-recall chip-sweep dryrun
+	@echo "regenerated: BENCH_HEADLINE.json BENCH_LARGE.json" \
+	      "STREAM_RECALL.json lens/data/online/*.csv CHIP_SWEEP.json"
+	@echo "see RESULTS.md for the expected bands"
 
 example:
 	python examples/full_workflow.py
