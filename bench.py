@@ -658,12 +658,21 @@ def section_stream(result: dict) -> None:
             models_dir=os.path.join(ROOT, "lens/models"),
             output_base=os.path.join(td, "out_live"),
         )
+        def as_stdin(text: str):
+            # A real text stream with a binary .buffer layer, so the live
+            # feeder takes its native buffer-parse fast path — the same
+            # ingest a deployment's `... | python main.py --event_driven
+            # --event_file -` pays.
+            return io.TextIOWrapper(
+                io.BufferedReader(io.BytesIO(text.encode()))
+            )
+
         saved_stdin = sys.stdin
         logging.disable(logging.INFO)
         try:
-            sys.stdin = io.StringIO(warm_lines)  # warm every dispatch bucket
+            sys.stdin = as_stdin(warm_lines)  # warm every dispatch bucket
             run_event_driven(cfg)
-            sys.stdin = io.StringIO(full_lines)
+            sys.stdin = as_stdin(full_lines)
             run_event_driven(cfg)
         finally:
             sys.stdin = saved_stdin

@@ -102,6 +102,16 @@ def _get_lib_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    # hasattr guard: a deployment shipping a prebuilt OLDER .so without the
+    # C++ source must still load (the buffer parser then falls back to the
+    # Python line loop in the live feeder).
+    if hasattr(lib, "lens_parse_text_buffer"):
+        lib.lens_parse_text_buffer.restype = ctypes.c_int64
+        lib.lens_parse_text_buffer.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), u16p, u16p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     lib.lens_stream_open.restype = ctypes.c_void_p
     lib.lens_stream_open.argtypes = [
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -340,6 +350,37 @@ def find_hot_pixels(
     np.add.at(counts, (y.astype(np.int64), x.astype(np.int64)), 1)
     ys, xs = np.where(counts > count_threshold)
     return np.stack([xs, ys], axis=1).astype(np.uint16)
+
+
+def has_buffer_parser() -> bool:
+    """True when the native engine exports the live-ingest buffer parser."""
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "lens_parse_text_buffer")
+
+
+def parse_text_buffer(data: bytes):
+    """Parse complete 't x y [pol]' lines from a byte buffer — the LIVE
+    stdin ingest fast path (the Python per-line float() parse was the live
+    loop's measured bottleneck at on-chip densities).  Returns
+    (t, x, y, consumed): one event per '\\n'-terminated line with >= 3
+    numeric tokens (the header/heartbeat skip rule of the line loop), and
+    the byte offset consumed so the caller carries the partial tail line
+    into its next chunk.  Requires has_buffer_parser()."""
+    lib = get_lib()
+    cap = data.count(b"\n")  # <= 1 event per complete line
+    t = np.empty(cap, np.float64)
+    x = np.empty(cap, np.uint16)
+    y = np.empty(cap, np.uint16)
+    consumed = ctypes.c_int64()
+    n = lib.lens_parse_text_buffer(
+        data, len(data),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cap, ctypes.byref(consumed),
+    )
+    n = max(0, min(int(n), cap))
+    return t[:n], x[:n], y[:n], int(consumed.value)
 
 
 def parse_text_events(path: str):

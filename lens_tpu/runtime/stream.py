@@ -382,59 +382,105 @@ def live_aer_group_source(cfg: LensConfig, line_source, frames_only: bool = Fals
     sess_lock = threading.Lock()
     feeder_exc: list = []
 
-    def _feeder() -> None:
+    def _feed_arrays(t_a, x_a, y_a) -> bool:
+        with sess_lock:
+            if stop.is_set():
+                return False
+            sess.feed(t_a, x_a, y_a)
+        return True
+
+    def _feed_bytes(raw) -> None:
+        """Native buffer-parse ingest (the deployment fast path): raw
+        chunks go to the C++ line parser (events_native.parse_text_buffer)
+        instead of float()-parsing ~3 tokens per line in Python — the
+        measured live-loop bottleneck at on-chip densities.  read1 returns
+        whatever is available (blocking only when nothing is), and every
+        parsed batch feeds immediately, so sparse-stream latency is at
+        most one chunk behind arrival — tighter than the line loop's
+        50 ms deadline."""
+        leftover = b""
+        while not stop.is_set():
+            chunk = raw.read1(1 << 20)
+            if not chunk:
+                break  # EOF
+            data = leftover + chunk
+            t_a, x_a, y_a, used = events_native.parse_text_buffer(data)
+            leftover = data[used:]
+            if len(t_a) and not _feed_arrays(t_a, x_a, y_a):
+                return
+        if leftover and not stop.is_set():
+            # Trailing line without a newline still counts at EOF.
+            t_a, x_a, y_a, _ = events_native.parse_text_buffer(leftover + b"\n")
+            if len(t_a) and not _feed_arrays(t_a, x_a, y_a):
+                return
+        with sess_lock:
+            if not stop.is_set():
+                sess.flush()
+
+    def _feed_lines() -> None:
         buf_t: list = []
         buf_x: list = []
         buf_y: list = []
         last_feed = time.monotonic()
 
         def _feed_buf() -> bool:
-            with sess_lock:
-                if stop.is_set():
-                    return False
-                sess.feed(
-                    np.asarray(buf_t, np.float64),
-                    np.asarray(buf_x, np.uint16),
-                    np.asarray(buf_y, np.uint16),
-                )
+            ok = _feed_arrays(
+                np.asarray(buf_t, np.float64),
+                np.asarray(buf_x, np.uint16),
+                np.asarray(buf_y, np.uint16),
+            )
             buf_t.clear()
             buf_x.clear()
             buf_y.clear()
-            return True
+            return ok
 
-        try:
-            for line in line_source:
-                if stop.is_set():
-                    return
-                parts = line.split()
-                ok = len(parts) >= 3  # excludes the "width height" header
-                if ok:
-                    try:
-                        tv = float(parts[0])
-                        xv = int(float(parts[1]))
-                        yv = int(float(parts[2]))
-                    except ValueError:
-                        ok = False
-                if ok:
-                    buf_t.append(tv)
-                    buf_x.append(xv)
-                    buf_y.append(yv)
-                # Feed on size OR a time deadline, checked for EVERY line —
-                # including unparseable ones (heartbeats, comments): a
-                # sparse live stream must not sit on completed bins until
-                # 4096 events accumulate, and a run of non-event lines must
-                # not stall already-buffered events either.
-                if buf_t and (
-                    len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05
-                ):
-                    if not _feed_buf():
-                        return
-                    last_feed = time.monotonic()
-            if buf_t and not _feed_buf():
+        for line in line_source:
+            if stop.is_set():
                 return
-            with sess_lock:
-                if not stop.is_set():
-                    sess.flush()
+            parts = line.split()
+            ok = len(parts) >= 3  # excludes the "width height" header
+            if ok:
+                try:
+                    tv = float(parts[0])
+                    xv = int(float(parts[1]))
+                    yv = int(float(parts[2]))
+                except ValueError:
+                    ok = False
+            if ok:
+                buf_t.append(tv)
+                buf_x.append(xv)
+                buf_y.append(yv)
+            # Feed on size OR a time deadline, checked for EVERY line —
+            # including unparseable ones (heartbeats, comments): a
+            # sparse live stream must not sit on completed bins until
+            # 4096 events accumulate, and a run of non-event lines must
+            # not stall already-buffered events either.
+            if buf_t and (
+                len(buf_t) >= 4096 or time.monotonic() - last_feed > 0.05
+            ):
+                if not _feed_buf():
+                    return
+                last_feed = time.monotonic()
+        if buf_t and not _feed_buf():
+            return
+        with sess_lock:
+            if not stop.is_set():
+                sess.flush()
+
+    def _feeder() -> None:
+        try:
+            # The native buffer parser engages for real file-like text
+            # sources (sys.stdin exposes its binary layer as .buffer);
+            # plain line iterables keep the Python loop.
+            raw = getattr(line_source, "buffer", None)
+            if (
+                raw is not None
+                and hasattr(raw, "read1")
+                and events_native.has_buffer_parser()
+            ):
+                _feed_bytes(raw)
+            else:
+                _feed_lines()
         except Exception as e:  # surfaced on the consumer side
             feeder_exc.append(e)
         finally:

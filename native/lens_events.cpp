@@ -203,6 +203,44 @@ int64_t lens_parse_text_events(const char* path, double* t, uint16_t* x,
   return count;
 }
 
+// Parse complete "t x y [pol]" lines from an in-memory buffer (the LIVE
+// stdin ingest fast path: the Python feeder reads raw chunks and hands the
+// bytes here instead of float()-parsing ~3 tokens per line in Python —
+// measured the live loop's bottleneck at on-chip densities).  Only
+// '\n'-terminated lines are consumed; *consumed reports the byte offset of
+// the last complete line so the caller carries the partial tail into the
+// next chunk.  Lines with fewer than 3 numeric tokens (e.g. the optional
+// "width height" header, heartbeats, comments) are skipped — the same rule
+// as the Python line loop.  Returns the number of events written.
+int64_t lens_parse_text_buffer(const char* buf, int64_t len, double* t,
+                               uint16_t* x, uint16_t* y, int64_t capacity,
+                               int64_t* consumed) {
+  int64_t count = 0;
+  int64_t pos = 0;
+  *consumed = 0;
+  while (pos < len && count < capacity) {
+    const char* line = buf + pos;
+    const char* nl =
+        (const char*)std::memchr(line, '\n', (size_t)(len - pos));
+    if (nl == nullptr) break;  // partial line: leave for the next chunk
+    const int64_t line_len = (int64_t)(nl - line);
+    pos += line_len + 1;
+    *consumed = pos;
+    if (line_len >= 8190) continue;  // overflow-length line: skip whole
+    char tmp[8192];
+    std::memcpy(tmp, line, (size_t)line_len);
+    tmp[line_len] = '\0';
+    double a, b, c;
+    if (std::sscanf(tmp, "%lf %lf %lf", &a, &b, &c) == 3) {
+      t[count] = a;
+      x[count] = (uint16_t)b;
+      y[count] = (uint16_t)c;
+      ++count;
+    }
+  }
+  return count;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -340,3 +340,71 @@ def test_largest_sane_segment_isolates_mid_array_corruption():
     y = np.full(6, 5, np.uint16)
     frames = ev.accumulate_frames(t, x, y, 0.25, (23, 0), (80, 80), 5)
     assert frames.sum() == 3  # events 0.2/0.3/0.4 survive
+
+
+def test_parse_text_buffer_matches_line_rules():
+    """The native live-ingest buffer parser (lens_parse_text_buffer) must
+    apply the Python line loop's rules: one event per '\\n'-terminated line
+    with >=3 numeric tokens; headers/heartbeats/garbage skipped; the
+    partial tail line left unconsumed for the next chunk."""
+    import pytest
+
+    from lens_tpu.runtime import events_native as ev
+
+    if not ev.has_buffer_parser():
+        pytest.skip("native engine unavailable")
+    data = (
+        b"128 128\n"           # width-height header: 2 tokens, skipped
+        b"0.5 10 20 1\n"       # event with pol
+        b"# comment line\n"    # non-numeric, skipped
+        b"0.75 11 21\n"        # event without pol
+        b"heartbeat\n"         # skipped
+        b"1.25 12 22 0\n"
+        b"2.0 13 2"            # partial tail: NOT consumed
+    )
+    t, x, y, used = ev.parse_text_buffer(data)
+    np.testing.assert_array_equal(t, [0.5, 0.75, 1.25])
+    np.testing.assert_array_equal(x, [10, 11, 12])
+    np.testing.assert_array_equal(y, [20, 21, 22])
+    assert data[:used].endswith(b"1.25 12 22 0\n")
+    assert data[used:] == b"2.0 13 2"
+    # The tail parses once terminated (the EOF rule in the feeder).
+    t2, x2, y2, _ = ev.parse_text_buffer(data[used:] + b"\n")
+    np.testing.assert_array_equal(t2, [2.0])
+    np.testing.assert_array_equal(x2, [13])
+    np.testing.assert_array_equal(y2, [2])
+    # Empty buffer: no events, nothing consumed.
+    t3, _, _, used3 = ev.parse_text_buffer(b"")
+    assert len(t3) == 0 and used3 == 0
+
+
+def test_live_native_ingest_matches_line_loop():
+    """The live source's native buffer-parse fast path (a file-like source
+    with .buffer.read1) must yield bit-identical bins to the Python line
+    loop on the same text."""
+    import io
+
+    import pytest
+
+    from lens_tpu.config import LensConfig
+    from lens_tpu.runtime import events_native as ev
+    from lens_tpu.runtime.stream import live_aer_bin_source
+
+    if not ev.has_buffer_parser():
+        pytest.skip("native engine unavailable")
+    cfg = LensConfig(dims=10, roi_dim=80, timebin=100)
+    rng = np.random.default_rng(2)
+    lines = ["128 128\n"]
+    for i in range(3000):
+        t = i * 0.0003
+        x = int(rng.integers(cfg.roi_x, cfg.roi_x + 80))
+        y = int(rng.integers(cfg.roi_y, cfg.roi_y + 80))
+        lines.append(f"{t:.6f} {x} {y} 1\n")
+    text = "".join(lines)
+    via_lines = list(live_aer_bin_source(cfg, iter(lines)))
+    wrapper = io.TextIOWrapper(io.BufferedReader(io.BytesIO(text.encode())))
+    via_native = list(live_aer_bin_source(cfg, wrapper))
+    assert len(via_native) == len(via_lines) > 0
+    for (r1, f1), (r2, f2) in zip(via_native, via_lines):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)
