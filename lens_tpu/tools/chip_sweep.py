@@ -193,6 +193,13 @@ def main(argv=None) -> int:
         "default events/bin scales with it so the sensor rate is held",
     )
     p.add_argument(
+        "--trials_json",
+        default="",
+        help="JSON file with an explicit trial list (e.g. the top-K hypers "
+        "of a screening run, re-trained at full epochs); overrides "
+        "--n_trials/--wide sampling",
+    )
+    p.add_argument(
         "--feature_multiplier",
         type=float,
         default=0.0,
@@ -236,18 +243,28 @@ def main(argv=None) -> int:
 
     print(f"building stream rasters ({events_per_bin} events/bin)...")
     rasters = build_stream_rasters(stream_cfg, events_per_bin, args.seed)
+    # ONE h2d transfer for the shared raster tensor: per-trial jnp.asarray
+    # of a host array would re-ship it every evaluation (sunset: 142 MB
+    # through the ~50 MB/s relay tunnel, x17 models).
+    rasters = jnp.asarray(rasters)
 
     print(
         f"training {args.n_trials} trials (one vmapped program"
         + (", widened space" if args.wide else "")
         + ")..."
     )
+    explicit_trials = None
+    if args.trials_json:
+        with open(args.trials_json) as f:
+            explicit_trials = json.load(f)
+        print(f"using {len(explicit_trials)} explicit trials from {args.trials_json}")
     sweep = run_sweep(
         train_cfg,
         n_trials=args.n_trials,
         seed=args.seed,
         return_params=True,
         wide=args.wide,
+        trials=explicit_trials,
     )
 
     # Baseline: the bundled pretrained checkpoint through the same stream,
