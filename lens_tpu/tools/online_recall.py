@@ -152,10 +152,14 @@ def gt_path_for(cfg: LensConfig) -> str:
 
 
 def run_stream_once(
-    stream: LensConfig, GT: np.ndarray, events_per_bin: int, seed: int
+    stream: LensConfig, GT: np.ndarray, events_per_bin: int, seed: int,
+    params: LensParams | None = None,
 ) -> dict:
     """One full --event_driven replay at the given density; returns the
-    scored online Recall@N row."""
+    scored online Recall@N row.  `params` substitutes an already
+    chip-regime-compensated model (e.g. the bundled chip-sweep winners,
+    saved pre-scaled x10/x2) — it is staged under the STOCK model name
+    with NO rescale, so the replay exercises the identical CLI path."""
     from dataclasses import replace
 
     from lens_tpu.runtime.stream import frame_source
@@ -175,7 +179,12 @@ def run_stream_once(
         stream.event_file = stream_path
         models_src = stream.models_dir
         stream.models_dir = os.path.join(tmp, "models")
-        prepare_stream_model(stream, models_src, stream.models_dir)
+        if params is not None:
+            checkpoint.save_model(
+                stream.models_dir, stream.model_name(), params, stream.to_json()
+            )
+        else:
+            prepare_stream_model(stream, models_src, stream.models_dir)
         t0 = time.perf_counter()
         run_event_driven(stream)
         stream_wall = time.perf_counter() - t0
@@ -221,7 +230,7 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
     )
 
     n_bins = int(S_stream.shape[1]) * QUERIES_PER_SEQUENCE
-    return {
+    report = {
         "traverse": name,
         "model": off.model_name(""),
         "events_per_bin": events_per_bin,
@@ -236,6 +245,36 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
         "stream_wall_s": stream_wall,
     }
 
+    # --- chip-regime sweep winner (if bundled): same replay, pre-scaled
+    # checkpoint loaded as-is (chip_sweep.py --save_best ships x10/x2
+    # compensated weights — see BENCHMARKS.md chip-regime sections).
+    chip = find_chip_model(stream.models_dir, name)
+    if chip is not None:
+        chip_name, chip_params = chip
+        crun = run_stream_once(
+            stream, GT, events_per_bin, seed, params=chip_params
+        )
+        report["chip_model"] = chip_name
+        report["chip_online"] = crun["online"]
+        report["chip_stream_wall_s"] = crun["stream_wall_s"]
+    return report
+
+
+def find_chip_model(models_dir: str, traverse: str):
+    """(name, params) of the bundled `chip-{traverse}` sweep winner, or
+    None.  The chip checkpoints' architecture can differ from the stock
+    model's (the sunset winner is feature_multiplier 16), so the name is
+    discovered rather than derived from the traverse config."""
+    import glob
+
+    hits = sorted(
+        glob.glob(os.path.join(models_dir, f"chip-{traverse}_LENS_*.npz"))
+    )
+    if not hits:
+        return None
+    name = os.path.splitext(os.path.basename(hits[-1]))[0]
+    return name, checkpoint.load_model(models_dir, name)
+
 
 def write_overlay_csv(path: str, report: dict) -> None:
     """The reference's SADvLENS CSV (N,SAD,LENS), extended with the offline
@@ -243,11 +282,18 @@ def write_overlay_csv(path: str, report: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["N", "SAD", "LENS_offline", "LENS_online"])
+        header = ["N", "SAD", "LENS_offline", "LENS_online"]
+        chip = report.get("chip_online")
+        if chip:
+            header.append("LENS_chip_online")
+        w.writerow(header)
         for i, n in enumerate(report["recall_ns"]):
-            w.writerow(
-                [n, report["sad"][i], report["offline"][i], report["online"][i]]
-            )
+            row = [
+                n, report["sad"][i], report["offline"][i], report["online"][i]
+            ]
+            if chip:
+                row.append(chip[i])
+            w.writerow(row)
 
 
 def main(argv=None) -> int:
@@ -284,16 +330,14 @@ def main(argv=None) -> int:
     for name in names:
         rep = run_traverse(name, cfgs[name], args.events_per_bin, args.seed)
         reports.append(rep)
-        print(
-            ascii_table(
-                ["N", *map(str, rep["recall_ns"])],
-                [
-                    ["LENS online", *rep["online"]],
-                    ["LENS offline", *rep["offline"]],
-                    ["SAD", *rep["sad"]],
-                ],
-            )
-        )
+        rows = [
+            ["LENS online", *rep["online"]],
+            ["LENS offline", *rep["offline"]],
+            ["SAD", *rep["sad"]],
+        ]
+        if rep.get("chip_online"):
+            rows.insert(0, ["LENS chip online", *rep["chip_online"]])
+        print(ascii_table(["N", *map(str, rep["recall_ns"])], rows))
         if args.csv_dir:
             write_overlay_csv(
                 os.path.join(args.csv_dir, f"SAD_vs_LENS_online_{name}.csv"), rep
@@ -324,6 +368,13 @@ def main(argv=None) -> int:
             row["seed"] = s
             band.append(row)
         payload["seed_band_example"] = band
+        payload["seed_band_note"] = (
+            "independent stream synthesis seeds at 20k events/bin; the "
+            "pipeline is deterministic per stream (integer dynamics), so "
+            "the band is synthesis noise. Seed 0 is the headline report "
+            "row. Generated on the CPU backend: the streaming path is "
+            "int32 and backend-identical (tests/test_stream_oracle.py)."
+        )
         r1 = [r["online"][0] for r in band]
         print(f"seed band (R@1 over seeds {args.seeds}): {min(r1)}-{max(r1)}")
     if args.json:
