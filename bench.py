@@ -721,7 +721,11 @@ def section_large(result: dict) -> None:
     )
 
     n_in, n_feat, n_out, t_steps = 1024, 2048, 8192, 250
-    q = 256 if jax.default_backend() != "cpu" else 16
+    # q=512: the bf16 slab kernel's MXU utilization grows with the query
+    # tile (v5e sweep: 73% MFU at tile 256 -> 81% at 512); the scan and
+    # quantized routes are batch-agnostic per-frame.  Reported as
+    # large_batch_q.
+    q = 512 if jax.default_backend() != "cpu" else 16
     iters = 8 if jax.default_backend() != "cpu" else 2
     rng = np.random.default_rng(0)
     params = LensParams(
@@ -749,8 +753,21 @@ def section_large(result: dict) -> None:
         return q * iters / dt
 
     fps_f = measure(lambda b: best_forward(params, b, u, q_bucket=q))
+    # bf16 goes through the production router: at this scale the f32-resident
+    # fused kernel does not fit VMEM but the bf16-operand variant does, so
+    # best_forward dispatches the fused kernel (HBM traffic = weights + query
+    # tile instead of the scan's (T*Q, n) activation streams).
     fps_b = measure(
+        lambda b: best_forward(params, b, u, q_bucket=q, matmul_dtype=jnp.bfloat16)
+    )
+    # The scan bf16 route, kept as a comparison row for the fused kernel.
+    fps_b_scan = measure(
         lambda b: forward_counts(params, b, u, matmul_dtype=jnp.bfloat16)
+    )
+    from lens_tpu.ops.fused_forward import planned_route
+
+    bf16_route = planned_route(
+        n_in, n_feat, n_out, t_steps, q, matmul_dtype=jnp.bfloat16
     )
     fps_q = measure(
         lambda b: forward_counts_quantized_bucketed(qp, b, u, q_bucket=q)
@@ -770,6 +787,12 @@ def section_large(result: dict) -> None:
         "large_bf16_achieved_tflops": round(fps_b * flops / 1e12, 3),
         "large_bf16_mfu_pct_vs_bf16_peak": round(
             fps_b * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
+        ),
+        "large_batch_q": q,
+        "large_bf16_route": bf16_route,
+        "large_bf16_scan_frames_per_sec": round(fps_b_scan, 1),
+        "large_bf16_scan_mfu_pct_vs_bf16_peak": round(
+            fps_b_scan * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
         ),
         # Which program the quantized dispatcher picked (the hoisted
         # int8 MXU route when its exactness bound holds, else the scan).
@@ -853,7 +876,8 @@ def main() -> None:
         "stream_realtime_factor_t250_chunk8",
         "stream_realtime_factor_t250_live", "stream_live_dispatch_max_bins",
         "large_float_frames_per_sec", "large_float_mfu_pct_vs_bf16_peak",
-        "large_bf16_mfu_pct_vs_bf16_peak", "large_quant_frames_per_sec",
+        "large_bf16_mfu_pct_vs_bf16_peak", "large_bf16_route",
+        "large_quant_frames_per_sec",
     )
     compact = {k: result[k] for k in compact_keys if k in result}
     compact["detail"] = "BENCH_HEADLINE.json"

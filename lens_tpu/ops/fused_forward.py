@@ -93,6 +93,8 @@ def _kernel(
     int_exact: bool = False,
     recip_feat: Optional[float] = None,
     recip_out: Optional[float] = None,
+    op_dtype=jnp.float32,
+    out_block: Optional[int] = None,
 ):
     if min_v_out is None:
         min_v_out = min_v
@@ -100,6 +102,64 @@ def _kernel(
     # state-independent GEMM1 one step ahead behind a lax.cond) was measured
     # SLOWER (220k vs 255k frames/s) — Mosaic already schedules the
     # independent dot; the cond only adds overhead.  Keep the straight loop.
+    #
+    # op_dtype != f32 (the bf16 large-model route): the weight refs arrive
+    # already cast, rasters are exactly {0,1} and per-step feature spike
+    # counts are gated <= 256 (network.bf16_matmul_exact_ok), so both MXU
+    # operands are lossless in bf16; accumulation, membranes, and counts
+    # stay f32 — identical semantics to forward_counts(matmul_dtype=bf16).
+    # out_block (the large-model slab variant): loading the whole w2 as a
+    # value (`w2_ref[:]`) makes the register allocator keep the full array
+    # live across the T-loop and SPILL it — measured on v5e at
+    # IN1024/FN2048/DB8192: a ~106 MB scoped floor that no query-tile size
+    # can shrink (140.4M scoped at tile_q=256, 114.8M at 64; hardware VMEM
+    # is 128M).  The slab form never materializes w2 as a value: GEMM2 runs
+    # over static out-column slabs read from the ref per step, and the
+    # output membranes/counts live in VMEM *scratch refs* updated slab by
+    # slab, so the vreg live set per iteration is one (2048, out_block)
+    # slab + (tile_q, out_block) f32 temporaries.
+    if out_block is not None:
+
+        def kernel(intens_ref, u_ref, w1_ref, w2_ref, out_ref, v2_ref, v3_ref):
+            t_steps = u_ref.shape[0]
+            n_out = w2_ref.shape[1]
+            assert n_out % out_block == 0
+            n_slabs = n_out // out_block
+            v2_ref[:] = jnp.zeros_like(v2_ref)
+            v3_ref[:] = jnp.zeros_like(v3_ref)
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+            def body(t, _):
+                # Window reads INSIDE the body: values die each iteration
+                # instead of living across the T-loop as spilled vregs.
+                u_t = u_ref[t, :]
+                x = (u_t[None, :] < intens_ref[:]).astype(op_dtype)
+                h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+                v2 = v2_ref[:] + h
+                s2 = _spikes(v2, thr_feat, int_exact, recip_feat)
+                v2 = v2 - s2 * thr_feat
+                if min_v is not None:
+                    v2 = jnp.maximum(v2, min_v)
+                v2_ref[:] = v2
+                s2c = s2.astype(op_dtype)
+                for j in range(n_slabs):  # static slices: unrolled, tiny J
+                    sl = slice(j * out_block, (j + 1) * out_block)
+                    h2 = jnp.dot(
+                        s2c, w2_ref[:, sl], preferred_element_type=jnp.float32
+                    )
+                    v3 = v3_ref[:, sl] + h2
+                    s3 = _spikes(v3, thr_out, int_exact, recip_out)
+                    v3 = v3 - s3 * thr_out
+                    if min_v_out is not None:
+                        v3 = jnp.maximum(v3, min_v_out)
+                    v3_ref[:, sl] = v3
+                    out_ref[:, sl] += s3
+                return 0
+
+            jax.lax.fori_loop(0, t_steps, body, 0)
+
+        return kernel
+
     def kernel(intens_ref, u_ref, w1_ref, w2_ref, out_ref):
         t_steps = u_ref.shape[0]
         q = intens_ref.shape[0]
@@ -112,14 +172,14 @@ def _kernel(
         def body(t, carry):
             v2, v3, acc = carry
             u_t = u_ref[t, :]
-            x = (u_t[None, :] < intens).astype(jnp.float32)
+            x = (u_t[None, :] < intens).astype(op_dtype)
             h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
             v2 = v2 + h
             s2 = _spikes(v2, thr_feat, int_exact, recip_feat)
             v2 = v2 - s2 * thr_feat
             if min_v is not None:
                 v2 = jnp.maximum(v2, min_v)
-            h2 = jnp.dot(s2, w2, preferred_element_type=jnp.float32)
+            h2 = jnp.dot(s2.astype(op_dtype), w2, preferred_element_type=jnp.float32)
             v3 = v3 + h2
             s3 = _spikes(v3, thr_out, int_exact, recip_out)
             v3 = v3 - s3 * thr_out
@@ -142,7 +202,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "spike_thresholds", "min_v_mem", "min_v_mem_out", "tile_q", "interpret",
-        "int_exact", "recip_feat", "recip_out",
+        "int_exact", "recip_feat", "recip_out", "matmul_dtype", "out_block",
     ),
 )
 def forward_counts_pallas(
@@ -157,6 +217,8 @@ def forward_counts_pallas(
     int_exact: bool = False,  # quantized route: reciprocal spike count
     recip_feat: Optional[float] = None,  # host-verified exact multipliers
     recip_out: Optional[float] = None,  # (speck_sim.verified_recip)
+    matmul_dtype=None,  # bf16 large-model route: MXU operands only
+    out_block: Optional[int] = None,  # large-model slab variant (see _kernel)
 ) -> jnp.ndarray:
     """(Q, n_out) output spike counts; drop-in for forward_counts.
 
@@ -164,8 +226,16 @@ def forward_counts_pallas(
     orchestrator routes other configurations to the scan path.  A separate
     `min_v_mem_out` supports the quantized chip path, where each layer's
     membrane floor is scaled by its own discretization factor.
+
+    `matmul_dtype=jnp.bfloat16` halves the VMEM-resident weight banks and
+    feeds the MXU its native operand format — the route for models whose f32
+    weights blow the VMEM budget (the scan path's alternative materializes
+    (T*Q, n) activations through HBM).  Semantics match
+    forward_counts(matmul_dtype=bf16): weights bf16-rounded once, rasters
+    and spike counts lossless, accumulation f32.
     """
     assert spike_thresholds.inp == 1.0, "input IAF elision needs threshold 1"
+    assert out_block is None or out_block % 128 == 0, "slab = whole lanes"
     # Float-route divide elision: at threshold 1.0, floor(v/1.0) == floor(v)
     # exactly, and the VPU divide is multi-cycle even by the constant 1.0
     # (round 4: the quantized kernel with verified reciprocals measured 1.8x
@@ -182,19 +252,20 @@ def forward_counts_pallas(
 
     n_in_p = _round_up(n_in, 128)
     n_feat_p = _round_up(n_feat, 128)
-    n_out_p = _round_up(n_out, 128)
+    n_out_p = _round_up(n_out, 128 if out_block is None else out_block)
     # Bucket the query count to whole tiles: one compiled kernel per grid
     # size instead of one per dataset size (remote TPU compiles are minutes).
     q_p = _round_up(q, tile_q)
 
+    op_dtype = jnp.float32 if matmul_dtype is None else jnp.dtype(matmul_dtype)
     intens_p = jnp.zeros((q_p, n_in_p), jnp.float32)
     intens_p = intens_p.at[:q, :n_in].set(intensities.astype(jnp.float32))
     u_p = jnp.ones((t_steps, n_in_p), jnp.float32)  # pad=1.0 => never spikes
     u_p = u_p.at[:, :n_in].set(u_thresh.astype(jnp.float32))
-    w1_p = jnp.zeros((n_in_p, n_feat_p), jnp.float32)
-    w1_p = w1_p.at[:n_in, :n_feat].set(params.w_feat.astype(jnp.float32))
-    w2_p = jnp.zeros((n_feat_p, n_out_p), jnp.float32)
-    w2_p = w2_p.at[:n_feat, :n_out].set(params.w_out.astype(jnp.float32))
+    w1_p = jnp.zeros((n_in_p, n_feat_p), op_dtype)
+    w1_p = w1_p.at[:n_in, :n_feat].set(params.w_feat.astype(op_dtype))
+    w2_p = jnp.zeros((n_feat_p, n_out_p), op_dtype)
+    w2_p = w2_p.at[:n_feat, :n_out].set(params.w_out.astype(op_dtype))
 
     grid = (q_p // tile_q,)
     out = pl.pallas_call(
@@ -206,9 +277,21 @@ def forward_counts_pallas(
             int_exact,
             recip_feat,
             recip_out,
+            op_dtype,
+            out_block,
         ),
         out_shape=jax.ShapeDtypeStruct((q_p, n_out_p), jnp.float32),
         grid=grid,
+        # Slab variant: membranes live in VMEM scratch refs, not vregs (the
+        # whole point — see _kernel's out_block note).
+        scratch_shapes=(
+            [
+                pltpu.VMEM((tile_q, n_feat_p), jnp.float32),
+                pltpu.VMEM((tile_q, n_out_p), jnp.float32),
+            ]
+            if out_block is not None
+            else []
+        ),
         in_specs=[
             pl.BlockSpec((tile_q, n_in_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t_steps, n_in_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -222,6 +305,29 @@ def forward_counts_pallas(
             flops=2 * t_steps * q_p * (n_in_p * n_feat_p + n_feat_p * n_out_p),
             bytes_accessed=4 * (q_p * n_in_p + t_steps * n_in_p + q_p * n_out_p),
             transcendentals=0,
+        ),
+        # The VMEM-resident design IS the kernel (weights + threshold stream
+        # + membranes live on the Mosaic stack for all T steps); at large
+        # model scale that stack exceeds the compiler's default 16 MiB
+        # scoped-vmem cap ("Scoped allocation ... exceeded scoped vmem
+        # limit"), so raise the cap — but only for models that need it, so
+        # the small-model HLO (the proven cached headline executable) stays
+        # byte-identical.
+        compiler_params=(
+            pltpu.CompilerParams(
+                # The slab variant's windows+scratch alone can approach the
+                # 88 MiB routing budget; give Mosaic the rest of the chip
+                # for temporaries.  The value-resident form keeps the lower
+                # cap (its overrun mode is whole-weight-bank spills, better
+                # rejected at compile time than thrashing).
+                vmem_limit_bytes=(112 if out_block is not None else 100)
+                * 1024 * 1024
+            )
+            if kernel_vmem_bytes(
+                n_in, n_feat, n_out, t_steps, tile_q,
+                weight_bytes=jnp.dtype(op_dtype).itemsize,
+            ) > 14 * 1024 * 1024
+            else None
         ),
         interpret=interpret,
     )(intens_p, u_p, w1_p, w2_p)
@@ -253,20 +359,100 @@ def cpu_q_bucket(q: int) -> int:
 # the compiler tiles the GEMMs through HBM.
 _PALLAS_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
 
+# w2 held as a vreg VALUE across the T-loop spills to scoped VMEM in unpacked
+# form (measured on v5e at IN1024/FN2048/DB8192 bf16: a ~106 MB scoped floor
+# that no query-tile size shrinks — 140.4M at tile_q=256, 114.8M at 64, vs
+# 128M hardware VMEM).  Past this w2 size the router switches the kernel to
+# its slab variant (out_block), which never materializes w2 as a value.
+_W2_VALUE_BYTES_MAX = 4 * 1024 * 1024
+
+# Slab GEMM2 width.  v5e sweep at IN1024/FN2048/DB8192 bf16 tile_q=512:
+# out_block 512 -> 81.0% MFU, 1024 -> 81.4%, 2048 -> 81.5%; at tile_q=256:
+# 512 -> 40.2%, 1024 -> 72.6% (narrow slabs starve the MXU on the
+# (tile_q, n_feat) x (n_feat, out_block) step).  1024 takes ~all of the win
+# at half 2048's slab VMEM.
+_SLAB_OUT_BLOCK = 1024
+
+# Budget for the slab variant: the estimate below counts the kernel's VMEM
+# windows + scratch, and slab spills are small (per-iteration values only),
+# so the gate can run much closer to the 128 MiB chip than the value-resident
+# kernel's 64 MiB (which must absorb whole-weight-bank spills).  ~40 MiB
+# headroom covers Mosaic temporaries; tile_q=512 at the shape above (77 MiB
+# estimated) compiles and runs inside it.
+_PALLAS_SLAB_VMEM_BUDGET_BYTES = 88 * 1024 * 1024
+
 
 def kernel_vmem_bytes(
-    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int
+    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int,
+    weight_bytes: int = 4,
 ) -> int:
-    """f32 resident-set estimate of forward_counts_pallas (padded to the
-    128-lane tile): weights + threshold stream + per-tile buffers."""
+    """Resident-set estimate of forward_counts_pallas (padded to the
+    128-lane tile): weights + threshold stream + per-tile buffers.
+    `weight_bytes=2` sizes the bf16-operand variant, whose weight banks are
+    half-width (membranes/counts stay f32)."""
     pad = lambda n: -(-n // 128) * 128  # noqa: E731
     n_in_p, n_feat_p, n_out_p = pad(n_in), pad(n_feat), pad(n_out)
-    return 4 * (
+    return weight_bytes * (
         n_in_p * n_feat_p  # w1
         + n_feat_p * n_out_p  # w2
-        + t_steps * n_in_p  # u
+    ) + 4 * (
+        t_steps * n_in_p  # u
         + tile_q * (n_in_p + n_feat_p + 2 * n_out_p)  # intens + v2 + v3 + out
     )
+
+
+def _route_plan(
+    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int,
+    op_bytes: int,
+) -> tuple:
+    """(fits, out_block) for one MXU operand width.
+
+    out_block engages the slab kernel when w2 is too large to live as a vreg
+    value across the T-loop (see _W2_VALUE_BYTES_MAX); the fit test then uses
+    the slab budget (window accounting is accurate there) instead of the
+    value-resident budget (which must absorb whole-bank register spills)."""
+    pad = lambda n: -(-n // 128) * 128  # noqa: E731
+    w2_bytes = pad(n_feat) * pad(n_out) * op_bytes
+    out_block = (
+        min(_SLAB_OUT_BLOCK, pad(n_out))
+        if w2_bytes > _W2_VALUE_BYTES_MAX
+        else None
+    )
+    budget = (
+        _PALLAS_SLAB_VMEM_BUDGET_BYTES
+        if out_block is not None
+        else _PALLAS_VMEM_BUDGET_BYTES
+    )
+    fits = (
+        kernel_vmem_bytes(n_in, n_feat, n_out, t_steps, tile_q,
+                          weight_bytes=op_bytes)
+        <= budget
+    )
+    return fits, out_block
+
+
+def planned_route(
+    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int,
+    matmul_dtype=None,
+) -> str:
+    """The program best_forward dispatches for these shapes (assuming the
+    backend runs Pallas and the exactness gates pass): 'pallas',
+    'pallas_slab', or 'scan'.  Reporting/bench helper — uses the same plan
+    the router executes."""
+    if not pallas_available():
+        return "scan"
+    fits_f32, ob_f32 = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, 4)
+    if matmul_dtype is None:
+        if fits_f32:
+            return "pallas_slab" if ob_f32 is not None else "pallas"
+        return "scan"
+    if fits_f32:
+        return "scan"  # f32-resident models keep the scan for bf16 asks
+    op_bytes = jnp.dtype(matmul_dtype).itemsize
+    fits, ob = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, op_bytes)
+    if fits:
+        return "pallas_slab" if ob is not None else "pallas"
+    return "scan"
 
 
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
@@ -279,14 +465,19 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     Models whose weights do not fit the kernel's VMEM-resident design
     (kernel_vmem_bytes > budget) take the XLA scan, which tiles through HBM.
 
-    `matmul_dtype` (the --precision bf16 route) forces the scan path — the
-    fused kernel is VMEM-bandwidth bound, not MXU bound, so bf16 operands
-    target the GEMM-bound scan-route models — with the same query-bucket
-    padding discipline (backend-aware on CPU, where padded rows run for
-    real and compiles are cheap).  When the model violates bf16's own
-    exactness premise (per-step feature spikes past bf16's exact-integer
-    range — network.bf16_matmul_exact_ok), the route falls back to f32 with
-    a warning rather than silently rounding spike counts.
+    `matmul_dtype` (the --precision bf16 route) targets GEMM-bound models.
+    Models that fit the f32-resident fused kernel are VMEM-bandwidth bound
+    there (bf16 operands buy nothing), so a bf16 request on them keeps the
+    measured scan route — with the same query-bucket padding discipline
+    (backend-aware on CPU, where padded rows run for real and compiles are
+    cheap).  Models too big for the f32-resident kernel but fitting with
+    bf16 weight banks take the bf16 fused kernel: the scan alternative
+    streams (T*Q, n) activations through HBM (~5 GB/batch at the
+    IN1024/FN2048/DB8192 scale), the kernel touches HBM only for weights
+    and the query tile.  When the model violates bf16's own exactness
+    premise (per-step feature spikes past bf16's exact-integer range —
+    network.bf16_matmul_exact_ok), the route falls back to f32 with a
+    warning rather than silently rounding spike counts.
     """
     from lens_tpu.core.network import bf16_matmul_exact_ok, forward_counts
 
@@ -296,20 +487,26 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         matmul_dtype = None  # exactness first (the gate warns once)
 
     q = intensities.shape[0]
-    fits = kernel_vmem_bytes(
+    plan = functools.partial(
+        _route_plan,
         intensities.shape[1],
         params.w_feat.shape[1],
         params.w_out.shape[1],
         u_thresh.shape[0],
         q_bucket,
-    ) <= _PALLAS_VMEM_BUDGET_BYTES
-    use_pallas = (
-        pallas_available()
-        and spike_thresholds.inp == 1.0
-        and fits
-        and matmul_dtype is None
     )
-    if not use_pallas:
+    fits_f32, out_block_f32 = plan(4)
+    pallas_ok = pallas_available() and spike_thresholds.inp == 1.0
+    use_pallas = pallas_ok and fits_f32 and matmul_dtype is None
+    out_block = out_block_f32
+    use_pallas_cast = False
+    if (
+        pallas_ok
+        and matmul_dtype is not None
+        and not fits_f32  # f32-resident models keep the scan for bf16 asks
+    ):
+        use_pallas_cast, out_block = plan(jnp.dtype(matmul_dtype).itemsize)
+    if not (use_pallas or use_pallas_cast):
         if jax.default_backend() == "cpu":
             q_bucket = cpu_q_bucket(q)
         q_p = _round_up(q, q_bucket)
@@ -326,6 +523,9 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     # same tile_q itself (a second zeros+scatter would be pure overhead on
     # the hot path).
     out = forward_counts_pallas(
-        params, intensities, u_thresh, spike_thresholds, min_v_mem, tile_q=q_bucket
+        params, intensities, u_thresh, spike_thresholds, min_v_mem,
+        tile_q=q_bucket,
+        matmul_dtype=matmul_dtype if use_pallas_cast else None,
+        out_block=out_block,
     )
     return out[:q]

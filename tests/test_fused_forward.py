@@ -166,3 +166,263 @@ def test_best_forward_bf16_bucket_padding_matches_direct():
     direct = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
     assert out.shape == (7, 8)
     np.testing.assert_array_equal(out, direct)
+
+
+def test_pallas_bf16_exact_on_representable_weights():
+    """bf16-operand kernel vs the scan bf16 route, bit-exact on weights that
+    bf16 represents exactly: all products and partial sums are exact
+    integers/quarter-integers in f32, so accumulation order cannot matter and
+    both routes must equal the f32 oracle."""
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts
+
+    rng = np.random.default_rng(11)
+    w1 = (rng.integers(-8, 9, (49, 63)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-8, 9, (63, 41)) / 4.0).astype(np.float32)
+    p = params_from_numpy(w1, w2, np.zeros(63, np.float32), np.zeros(41, np.float32))
+    intens = rng.random((9, 49)).astype(np.float32)
+    u = rng.random((30, 49)).astype(np.float32)
+    got = np.asarray(
+        forward_counts_pallas(
+            p, intens, u, tile_q=8, matmul_dtype=jnp.bfloat16,
+            interpret=_interpret_needed(),
+        )
+    )
+    f32 = np.asarray(forward_counts_stepwise(p, intens, u))
+    scan_bf16 = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(got, f32)
+    np.testing.assert_array_equal(scan_bf16, f32)
+
+
+def test_pallas_bf16_exact_at_lens_scale():
+    """LENS-scale shapes (100->200->100, the headline model class) with
+    eighth-integer weights: every product is an exact multiple of 1/64 and
+    every partial sum stays far inside f32's exact range, so the result is
+    independent of accumulation order and must equal the f32 oracle
+    bit-for-bit.  (Arbitrary f32 weights cannot be equality-tested here:
+    bf16-product accumulation order is implementation-defined — the
+    persistent AOT cache can load an executable vectorized for a different
+    host, which legitimately flips floor() at boundaries and cascades
+    through the IAF recurrence.)"""
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts
+
+    rng = np.random.default_rng(12)
+    w1 = (rng.integers(-16, 17, (100, 200)) / 8.0).astype(np.float32)
+    w2 = (rng.integers(-16, 17, (200, 100)) / 8.0).astype(np.float32)
+    p = params_from_numpy(
+        w1, w2, np.zeros(200, np.float32), np.zeros(100, np.float32)
+    )
+    intens = rng.random((16, 100)).astype(np.float32)
+    u = rng.random((25, 100)).astype(np.float32)
+    got = np.asarray(
+        forward_counts_pallas(
+            p, intens, u, tile_q=16, matmul_dtype=jnp.bfloat16,
+            interpret=_interpret_needed(),
+        )
+    )
+    f32 = np.asarray(forward_counts_stepwise(p, intens, u))
+    scan_bf16 = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(got, f32)
+    np.testing.assert_array_equal(scan_bf16, f32)
+
+
+def test_best_forward_routes_bf16_to_fused_kernel_when_scan_bound(monkeypatch):
+    """A model too big for the f32-resident kernel but fitting with bf16
+    weight banks must take the bf16 fused kernel (the large-model MFU
+    route); the result equals the scan bf16 route bit-for-bit on
+    bf16-representable weights."""
+    import jax.numpy as jnp
+
+    import lens_tpu.ops.fused_forward as ff
+    from lens_tpu.core.network import forward_counts
+
+    rng = np.random.default_rng(13)
+    w1 = (rng.integers(-4, 5, (16, 256)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-4, 5, (256, 256)) / 4.0).astype(np.float32)
+    p = params_from_numpy(
+        w1, w2, np.zeros(256, np.float32), np.zeros(256, np.float32)
+    )
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((20, 16)).astype(np.float32)
+    f32_bytes = ff.kernel_vmem_bytes(16, 256, 256, 20, 16)
+    bf16_bytes = ff.kernel_vmem_bytes(16, 256, 256, 20, 16, weight_bytes=2)
+    assert bf16_bytes < f32_bytes
+    # Budget between the two sizes: f32 does not fit, bf16 does.
+    monkeypatch.setattr(
+        ff, "_PALLAS_VMEM_BUDGET_BYTES", (f32_bytes + bf16_bytes) // 2
+    )
+    monkeypatch.setattr(ff, "pallas_available", lambda: True)
+    seen = {}
+    orig = ff.forward_counts_pallas
+
+    def spy(*args, **kwargs):
+        seen["matmul_dtype"] = kwargs.get("matmul_dtype")
+        kwargs["interpret"] = _interpret_needed()
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ff, "forward_counts_pallas", spy)
+    out = np.asarray(
+        ff.best_forward(p, intens, u, q_bucket=16, matmul_dtype=jnp.bfloat16)
+    )
+    assert seen.get("matmul_dtype") == jnp.bfloat16
+    direct = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    assert out.shape == (5, 256)
+    np.testing.assert_array_equal(out, direct)
+
+
+def test_best_forward_bf16_keeps_scan_when_f32_kernel_fits(monkeypatch):
+    """Models inside the f32-resident budget are VMEM-bandwidth bound in the
+    fused kernel, so a bf16 ask keeps the measured scan route there."""
+    import jax.numpy as jnp
+
+    import lens_tpu.ops.fused_forward as ff
+
+    rng = np.random.default_rng(14)
+    p = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 8)).astype(np.float32),
+        np.zeros(32, np.float32),
+        np.zeros(8, np.float32),
+    )
+    intens = rng.random((4, 16)).astype(np.float32)
+    u = rng.random((10, 16)).astype(np.float32)
+    monkeypatch.setattr(ff, "pallas_available", lambda: True)
+
+    def boom(*args, **kwargs):  # pragma: no cover - must not be reached
+        raise AssertionError("bf16 ask on an f32-resident model hit pallas")
+
+    monkeypatch.setattr(ff, "forward_counts_pallas", boom)
+    out = ff.best_forward(p, intens, u, q_bucket=16, matmul_dtype=jnp.bfloat16)
+    assert out.shape == (4, 8)
+
+
+def test_pallas_slab_variant_matches_oracle(setup):
+    """out_block (the large-model slab variant) is bit-exact vs the stepwise
+    oracle: same arithmetic per slab, membranes in scratch refs, n_out padded
+    up to a whole number of slabs (200 -> 256 at out_block=128, 2 slabs)."""
+    params, intens, u = setup
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, tile_q=32, out_block=128,
+            interpret=_interpret_needed(),
+        )
+    )
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_slab_variant_thresholds_and_floor(setup):
+    params, intens, u = setup
+    thr = SpikeThresholds(1.0, 3.0, 2.0)
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, spike_thresholds=thr, min_v_mem=None,
+            tile_q=32, out_block=128, interpret=_interpret_needed(),
+        )
+    )
+    expected = np.asarray(
+        forward_counts_stepwise(
+            params, intens, u, spike_thresholds=thr, min_v_mem=None
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_slab_bf16_matches_scan_bf16():
+    """Slab + bf16 operands together (the actual large-model route): exact
+    vs the f32 oracle on bf16-representable weights."""
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import forward_counts
+
+    rng = np.random.default_rng(15)
+    w1 = (rng.integers(-8, 9, (49, 160)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-8, 9, (160, 300)) / 4.0).astype(np.float32)
+    p = params_from_numpy(
+        w1, w2, np.zeros(160, np.float32), np.zeros(300, np.float32)
+    )
+    intens = rng.random((9, 49)).astype(np.float32)
+    u = rng.random((30, 49)).astype(np.float32)
+    got = np.asarray(
+        forward_counts_pallas(
+            p, intens, u, tile_q=8, matmul_dtype=jnp.bfloat16, out_block=128,
+            interpret=_interpret_needed(),
+        )
+    )
+    f32 = np.asarray(forward_counts_stepwise(p, intens, u))
+    scan_bf16 = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(got, f32)
+    np.testing.assert_array_equal(scan_bf16, f32)
+
+
+def test_best_forward_routes_large_w2_to_slab(monkeypatch):
+    """Past _W2_VALUE_BYTES_MAX the router must pass out_block (w2 held as a
+    vreg value across the T-loop spills scoped VMEM past the chip limit)."""
+    import jax.numpy as jnp
+
+    import lens_tpu.ops.fused_forward as ff
+    from lens_tpu.core.network import forward_counts
+
+    rng = np.random.default_rng(16)
+    w1 = (rng.integers(-4, 5, (16, 256)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-4, 5, (256, 256)) / 4.0).astype(np.float32)
+    p = params_from_numpy(
+        w1, w2, np.zeros(256, np.float32), np.zeros(256, np.float32)
+    )
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((20, 16)).astype(np.float32)
+    f32_bytes = ff.kernel_vmem_bytes(16, 256, 256, 20, 16)
+    bf16_bytes = ff.kernel_vmem_bytes(16, 256, 256, 20, 16, weight_bytes=2)
+    monkeypatch.setattr(
+        ff, "_PALLAS_VMEM_BUDGET_BYTES", (f32_bytes + bf16_bytes) // 2
+    )
+    # Slab-engaged plans consult the slab budget; pin it to the same midpoint
+    # so f32 (with its slab) does not fit but bf16 does.
+    monkeypatch.setattr(
+        ff, "_PALLAS_SLAB_VMEM_BUDGET_BYTES", (f32_bytes + bf16_bytes) // 2
+    )
+    # Force the slab threshold below this w2 (256*256*2 = 128 KiB).
+    monkeypatch.setattr(ff, "_W2_VALUE_BYTES_MAX", 64 * 1024)
+    monkeypatch.setattr(ff, "pallas_available", lambda: True)
+    seen = {}
+    orig = ff.forward_counts_pallas
+
+    def spy(*args, **kwargs):
+        seen["out_block"] = kwargs.get("out_block")
+        seen["matmul_dtype"] = kwargs.get("matmul_dtype")
+        kwargs["interpret"] = _interpret_needed()
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ff, "forward_counts_pallas", spy)
+    out = np.asarray(
+        ff.best_forward(p, intens, u, q_bucket=16, matmul_dtype=jnp.bfloat16)
+    )
+    assert seen.get("matmul_dtype") == jnp.bfloat16
+    assert seen.get("out_block") == 256  # min(512, n_out_p)
+    direct = np.asarray(forward_counts(p, intens, u, matmul_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(out, direct)
+
+
+def test_planned_route_matches_router(monkeypatch):
+    """planned_route (the bench's reporting helper) agrees with the plan
+    best_forward executes at the production large-model shape."""
+    import jax.numpy as jnp
+
+    import lens_tpu.ops.fused_forward as ff
+
+    monkeypatch.setattr(ff, "pallas_available", lambda: True)
+    # Headline-class model: tiny, f32-resident, value-form kernel.
+    assert ff.planned_route(100, 200, 100, 25, 1024) == "pallas"
+    # bf16 ask on an f32-resident model keeps the scan.
+    assert ff.planned_route(100, 200, 100, 25, 1024, jnp.bfloat16) == "scan"
+    # Production-scale model: f32 does not fit, bf16 slab does.
+    assert ff.planned_route(1024, 2048, 8192, 250, 512) == "scan"
+    assert (
+        ff.planned_route(1024, 2048, 8192, 250, 512, jnp.bfloat16)
+        == "pallas_slab"
+    )
+    monkeypatch.setattr(ff, "pallas_available", lambda: False)
+    assert ff.planned_route(100, 200, 100, 25, 1024) == "scan"
