@@ -717,7 +717,7 @@ def section_large(result: dict) -> None:
     from lens_tpu.runtime.speck_sim import (
         discretize,
         forward_counts_quantized_bucketed,
-        quantized_int8_ok,
+        quantized_route,
     )
 
     n_in, n_feat, n_out, t_steps = 1024, 2048, 8192, 250
@@ -796,9 +796,7 @@ def section_large(result: dict) -> None:
         ),
         # Which program the quantized dispatcher picked (the hoisted
         # int8 MXU route when its exactness bound holds, else the scan).
-        "large_quant_route": (
-            "int8_hoisted" if quantized_int8_ok(qp) else "int32_scan"
-        ),
+        "large_quant_route": quantized_route(qp, n_in, t_steps, q),
     }
     result.update(large)
     # Repo-visible snapshot (round-4 verdict ask #5): the large rows reach

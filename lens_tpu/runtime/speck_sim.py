@@ -180,22 +180,26 @@ def quantized_route(
     quant_route field) both read it, so labels cannot drift from behavior.
     Route by EXACTNESS first, speed second: each route's integer-exactness
     envelope is checked against the model's static worst case."""
-    from lens_tpu.ops.fused_forward import (
-        _PALLAS_VMEM_BUDGET_BYTES,
-        kernel_vmem_bytes,
-        pallas_available,
-    )
+    from lens_tpu.ops.fused_forward import _route_plan, pallas_available
 
-    fits = kernel_vmem_bytes(
-        n_in, qparams.w_feat.shape[1], qparams.w_out.shape[1], t_steps, q_bucket
-    ) <= _PALLAS_VMEM_BUDGET_BYTES
-    if pallas_available() and fits and quantized_pallas_exact_ok(qparams, t_steps):
+    n_feat, n_out = qparams.w_feat.shape[1], qparams.w_out.shape[1]
+    if pallas_available() and quantized_pallas_exact_ok(qparams, t_steps):
         r_feat, r_out = quantized_pallas_recips(qparams)
-        return (
-            "pallas_verified_recip"
+        suffix = (
+            "verified_recip"
             if (r_feat is not None and r_out is not None)
-            else "pallas_corrected_recip"
+            else "corrected_recip"
         )
+        if _route_plan(n_in, n_feat, n_out, t_steps, q_bucket, 4)[0]:
+            return f"pallas_{suffix}"
+        # Past the f32 budget: bf16 MXU operands halve the weight banks.
+        # Exact iff int8 weights + per-step spikes stay in bf16's
+        # exact-integer range (quantized_bf16_operand_ok) — then still
+        # bit-identical to the int32 scan.
+        if quantized_bf16_operand_ok(qparams) and _route_plan(
+            n_in, n_feat, n_out, t_steps, q_bucket, 2
+        )[0]:
+            return f"pallas_bf16_{suffix}"
     if quantized_int8_ok(qparams):
         return "int8_hoisted"
     if quantized_scan_exact_ok(qparams):
@@ -236,7 +240,8 @@ def forward_counts_quantized_bucketed(
     )
     if route.startswith("pallas"):
         return forward_counts_quantized_pallas(
-            qparams, intensities, u_thresh, tile_q=q_bucket
+            qparams, intensities, u_thresh, tile_q=q_bucket,
+            matmul_dtype=jnp.bfloat16 if "bf16" in route else None,
         )[:q]
     if route == "int8_hoisted":
         # Models past the fused kernel's VMEM budget are GEMM-bound; the
@@ -345,6 +350,7 @@ def forward_counts_quantized_pallas(
     u_thresh: jnp.ndarray,
     tile_q: int = 1024,
     interpret: bool = False,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """The quantized forward through the fused Pallas kernel — BIT-IDENTICAL
     to the int32 scan, ~3x faster (the float kernel's VMEM-resident loop).
@@ -356,9 +362,26 @@ def forward_counts_quantized_pallas(
     because the true ratio's distance from the boundary is >= 1/thr while
     the f32 half-ulp at k = v/thr is <= 2^-24 * 65536/thr < 1/thr.  Fuzzed
     bit-exact against forward_counts_quantized in tests/test_speck_sim.py.
+
+    `matmul_dtype=jnp.bfloat16` (the large-model route, gated by
+    quantized_bf16_operand_ok): MXU operands only — int8 weights and the
+    <=256 per-step spike counts are bf16-exact integers, accumulation stays
+    f32, so the result is still bit-identical to the int32 scan while the
+    weight banks halve (fitting the slab kernel's VMEM budget at scales
+    where f32 banks cannot).
     """
+    from lens_tpu.ops.fused_forward import _route_plan
+
     params_f = _pallas_params(qparams)
     recip_feat, recip_out = quantized_pallas_recips(qparams)
+    _, out_block = _route_plan(
+        intensities.shape[1],
+        qparams.w_feat.shape[1],
+        qparams.w_out.shape[1],
+        u_thresh.shape[0],
+        tile_q,
+        2 if matmul_dtype is not None else 4,
+    )
     # One fused dispatch per call (kernel + int cast inside a single jit):
     # every extra per-call device op is a measurable roundtrip on the relay.
     return _quantized_pallas_jit(
@@ -372,6 +395,8 @@ def forward_counts_quantized_pallas(
         interpret,
         recip_feat,
         recip_out,
+        matmul_dtype,
+        out_block,
     )
 
 
@@ -379,12 +404,13 @@ def forward_counts_quantized_pallas(
     jax.jit,
     static_argnames=(
         "thr", "minv_feat", "minv_out", "tile_q", "interpret",
-        "recip_feat", "recip_out",
+        "recip_feat", "recip_out", "matmul_dtype", "out_block",
     ),
 )
 def _quantized_pallas_jit(
     params_f, intensities, u_thresh, thr, minv_feat, minv_out, tile_q,
-    interpret, recip_feat=None, recip_out=None,
+    interpret, recip_feat=None, recip_out=None, matmul_dtype=None,
+    out_block=None,
 ):
     from lens_tpu.ops.fused_forward import forward_counts_pallas
 
@@ -406,6 +432,10 @@ def _quantized_pallas_jit(
         int_exact=True,
         recip_feat=recip_feat,
         recip_out=recip_out,
+        # Large-model route (quantized_bf16_operand_ok gates exactness:
+        # int8 weights and per-step spike counts are bf16-exact integers).
+        matmul_dtype=matmul_dtype,
+        out_block=out_block,
     )
     return counts.astype(jnp.int32)
 
@@ -515,6 +545,19 @@ def quantized_pallas_exact_ok(qparams: QuantizedParams, t_steps: int) -> bool:
     spike accumulator, so the count bound joins the envelope."""
     a1, a2, s3b = _envelope_bounds(qparams)
     return max(a1, a2, s3b * int(t_steps)) < 2**24
+
+
+def quantized_bf16_operand_ok(qparams: QuantizedParams) -> bool:
+    """bf16 MXU operands stay EXACT for this model: the discretized weights
+    are 8-bit integers (|w| <= 128, inside bf16's exact-integer range of
+    +/-256 — asserted by _int8_views) and the per-step feature spike count
+    (the only other cast operand; binary rasters need no check) is bounded
+    by the same static ceiling the int8 route uses.  Accumulation is f32
+    (preferred_element_type), and bf16 x bf16 products are exact in f32
+    (8+8 mantissa bits < 24), so the bf16-operand kernel remains
+    bit-identical to the int32 scan whenever the f32 envelope
+    (quantized_pallas_exact_ok) also holds."""
+    return _int8_views(qparams)[2] <= 256
 
 
 def forward_counts_quantized_int8(

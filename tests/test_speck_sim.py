@@ -510,3 +510,91 @@ def test_verified_recip_proof_is_sensitive():
         got = np.floor(v * bad)
         want = np.floor(v.astype(np.float64) / thr)
         assert not np.array_equal(got, want), f"thr={thr}: bad recip passed"
+
+
+def test_quantized_bf16_slab_route_bit_exact():
+    """The bf16-operand slab route (large quantized models) must remain
+    BIT-IDENTICAL to the int32 scan: int8 weights and <=256 per-step spike
+    counts are bf16-exact integers, accumulation stays f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from lens_tpu.runtime.speck_sim import (
+        forward_counts_quantized_pallas,
+        quantized_bf16_operand_ok,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        n_in = int(rng.integers(8, 40))
+        n_feat = int(rng.integers(8, 60))
+        n_out = int(rng.integers(130, 300))  # > 128: real multi-slab grids
+        q = int(rng.integers(1, 20))
+        t = int(rng.integers(3, 30))
+        params = params_from_numpy(
+            (rng.normal(0, 0.5, (n_in, n_feat))).astype(np.float32),
+            (rng.normal(0, 0.5, (n_feat, n_out))).astype(np.float32),
+            np.zeros(n_feat, np.float32),
+            np.zeros(n_out, np.float32),
+        )
+        thr = SpikeThresholds(1.0, float(rng.choice([1.0, 2.0, 10.0])), 2.0)
+        qp = discretize(params, thr, min_v_mem=-1.0)
+        assert quantized_bf16_operand_ok(qp)
+        intens = rng.random((q, n_in)).astype(np.float32)
+        u = rng.random((t, n_in)).astype(np.float32)
+        ref = np.asarray(forward_counts_quantized(qp, intens, u))
+        fast = np.asarray(
+            forward_counts_quantized_pallas(
+                qp, intens, u, tile_q=16, interpret=interpret,
+                matmul_dtype=jnp.bfloat16,
+            )
+        )[:q]
+        np.testing.assert_array_equal(fast, ref, err_msg=f"trial {trial}")
+
+
+def test_quantized_route_picks_bf16_slab_past_f32_budget(monkeypatch):
+    """quantized_route must name the bf16 slab program exactly when the f32
+    banks blow the budget but the bf16 banks fit — and the bucketed
+    dispatcher must execute what the label says."""
+    import jax
+    import jax.numpy as jnp
+
+    import lens_tpu.ops.fused_forward as ff
+    from lens_tpu.runtime import speck_sim
+
+    rng = np.random.default_rng(22)
+    params = params_from_numpy(
+        (rng.normal(0, 0.5, (16, 64))).astype(np.float32),
+        (rng.normal(0, 0.5, (64, 256))).astype(np.float32),
+        np.zeros(64, np.float32),
+        np.zeros(256, np.float32),
+    )
+    qp = discretize(params, SpikeThresholds(1.0, 2.0, 2.0), min_v_mem=-1.0)
+    f32_b = ff.kernel_vmem_bytes(16, 64, 256, 25, 16)
+    bf16_b = ff.kernel_vmem_bytes(16, 64, 256, 25, 16, weight_bytes=2)
+    mid = (f32_b + bf16_b) // 2
+    monkeypatch.setattr(ff, "_PALLAS_VMEM_BUDGET_BYTES", mid)
+    monkeypatch.setattr(ff, "_PALLAS_SLAB_VMEM_BUDGET_BYTES", mid)
+    monkeypatch.setattr(ff, "pallas_available", lambda: True)
+    route = speck_sim.quantized_route(qp, 16, 25, 16)
+    assert route.startswith("pallas_bf16_")
+
+    seen = {}
+    real = speck_sim.forward_counts_quantized_pallas
+
+    def spy(*a, **k):
+        seen["matmul_dtype"] = k.get("matmul_dtype")
+        k["interpret"] = jax.default_backend() == "cpu"
+        return real(*a, **k)
+
+    monkeypatch.setattr(speck_sim, "forward_counts_quantized_pallas", spy)
+    intens = rng.random((5, 16)).astype(np.float32)
+    u = rng.random((25, 16)).astype(np.float32)
+    got = np.asarray(
+        speck_sim.forward_counts_quantized_bucketed(qp, intens, u, q_bucket=16)
+    )
+    assert seen.get("matmul_dtype") == jnp.bfloat16
+    np.testing.assert_array_equal(
+        got, np.asarray(forward_counts_quantized(qp, intens, u))
+    )
