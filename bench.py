@@ -721,11 +721,11 @@ def section_large(result: dict) -> None:
     )
 
     n_in, n_feat, n_out, t_steps = 1024, 2048, 8192, 250
-    # q=512: the bf16 slab kernel's MXU utilization grows with the query
-    # tile (v5e sweep: 73% MFU at tile 256 -> 81% at 512); the scan and
-    # quantized routes are batch-agnostic per-frame.  Reported as
-    # large_batch_q.
-    q = 512 if jax.default_backend() != "cpu" else 16
+    # q=768: the bf16 slab kernel's MXU utilization grows with the query
+    # tile (v5e sweep: 73% MFU at tile 256 -> 81% at 512 -> 88% at 768,
+    # flat beyond); the scan and quantized routes are batch-agnostic
+    # per-frame.  Reported as large_batch_q.
+    q = 768 if jax.default_backend() != "cpu" else 16
     iters = 8 if jax.default_backend() != "cpu" else 2
     rng = np.random.default_rng(0)
     params = LensParams(

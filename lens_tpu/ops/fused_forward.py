@@ -320,7 +320,7 @@ def forward_counts_pallas(
                 # for temporaries.  The value-resident form keeps the lower
                 # cap (its overrun mode is whole-weight-bank spills, better
                 # rejected at compile time than thrashing).
-                vmem_limit_bytes=(112 if out_block is not None else 100)
+                vmem_limit_bytes=(120 if out_block is not None else 100)
                 * 1024 * 1024
             )
             if kernel_vmem_bytes(
@@ -370,16 +370,19 @@ _W2_VALUE_BYTES_MAX = 4 * 1024 * 1024
 # out_block 512 -> 81.0% MFU, 1024 -> 81.4%, 2048 -> 81.5%; at tile_q=256:
 # 512 -> 40.2%, 1024 -> 72.6% (narrow slabs starve the MXU on the
 # (tile_q, n_feat) x (n_feat, out_block) step).  1024 takes ~all of the win
-# at half 2048's slab VMEM.
+# at half 2048's slab VMEM.  Query-tile sweep at out_block=1024: tile_q
+# 512 -> 81.4%, 768 -> 88.1%, 896 -> 88.2% (flat) — callers with deep query
+# batches get the plateau by bucketing at 768.
 _SLAB_OUT_BLOCK = 1024
 
 # Budget for the slab variant: the estimate below counts the kernel's VMEM
 # windows + scratch, and slab spills are small (per-iteration values only),
 # so the gate can run much closer to the 128 MiB chip than the value-resident
-# kernel's 64 MiB (which must absorb whole-weight-bank spills).  ~40 MiB
-# headroom covers Mosaic temporaries; tile_q=512 at the shape above (77 MiB
-# estimated) compiles and runs inside it.
-_PALLAS_SLAB_VMEM_BUDGET_BYTES = 88 * 1024 * 1024
+# kernel's 64 MiB (which must absorb whole-weight-bank spills).  Measured on
+# v5e at IN1024/FN2048/DB8192 bf16: tile_q=512 (77 MiB estimated), 768
+# (98.5 MiB), and 896 (105 MiB) all compile and run inside the 120 MiB
+# Mosaic cap — the MFU plateau is at 768 (88.1%, vs 81.9% at 512).
+_PALLAS_SLAB_VMEM_BUDGET_BYTES = 106 * 1024 * 1024
 
 
 def kernel_vmem_bytes(
