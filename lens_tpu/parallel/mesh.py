@@ -414,3 +414,116 @@ def pad_to_multiple(arr: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, pad)
     return np.pad(arr, widths)
+
+
+def sharded_spike_counts_fused(
+    params,
+    intensities,
+    u_thresh,
+    min_v_mem=-1.0,
+    mesh: Optional[Mesh] = None,
+    matmul_dtype=None,
+    spike_thresholds=None,
+    interpret: Optional[bool] = None,
+):
+    """Multi-chip inference through the FUSED slab kernel: queries shard
+    over 'data', w_out's place axis over 'model', and every shard runs
+    `ops.fused_forward.forward_counts_pallas` on its local (Q/data,
+    R/model) block under `jax.shard_map`.
+
+    Why shard_map and not pjit: a Pallas custom call does not
+    SPMD-partition automatically (the reason sharded_spike_counts uses the
+    XLA scan), but the output layer is column-parallel end-to-end — each
+    shard owns its places' membranes and counts with NO collective inside
+    the T-loop — so manual partitioning is exact and free.  Per-chip this
+    is the measured 88%-MFU large-model route (BENCHMARKS.md round-5 slab
+    rows) instead of the scan's ~36%.
+
+    Bit-exactness: GEMM1 consumes the replicated w_feat identically on
+    every shard; each output column's GEMM2/IAF arithmetic depends only on
+    that column's weights, so shard boundaries cannot reorder any
+    reduction — counts equal the single-device kernel's bit-for-bit
+    (tests/test_sharding.py::test_fused_sharded_matches_single_device).
+
+    `interpret` defaults to True off-TPU (the CPU test mesh) and False on
+    TPU.  The routing gates (bf16 exactness, VMEM budgets) are the
+    caller's: this function dispatches the kernel it is asked for, with
+    out_block resolved per-shard via the same _route_plan the single-chip
+    router uses.
+    """
+    import jax.numpy as jnp
+
+    from lens_tpu.core.network import SpikeThresholds
+    from lens_tpu.ops.fused_forward import (
+        _route_plan,
+        forward_counts_pallas,
+        pallas_available,
+    )
+    from lens_tpu.utils.memo import id_memo
+
+    mesh = mesh or make_mesh()
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    if interpret is None:
+        interpret = not pallas_available()
+    thr = spike_thresholds or _default_thresholds()
+
+    q = intensities.shape[0]
+    r = params.w_out.shape[1]
+    intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
+    tile_q = intens.shape[0] // n_data  # one tile per shard
+    r_shard = -(-r // n_model)  # ceil: per-shard place count
+    op_bytes = 2 if matmul_dtype is not None else 4
+    _, out_block = _route_plan(
+        intens.shape[1], params.w_feat.shape[1], r_shard,
+        u_thresh.shape[0], tile_q, op_bytes,
+    )
+
+    def place():
+        w_out_p = pad_to_multiple(np.asarray(params.w_out), 1, n_model)
+        return type(params)(
+            w_feat=replicate(mesh, jnp.asarray(params.w_feat)),
+            w_out=shard_output_axis(mesh, jnp.asarray(w_out_p), 1),
+            thr_feat=replicate(mesh, jnp.asarray(params.thr_feat)),
+            thr_out=replicate(mesh, jnp.asarray(params.thr_out)),
+        )
+
+    placed = id_memo(
+        _TP_PLACED_CACHE,
+        (params.w_feat, params.w_out, params.thr_feat, params.thr_out, mesh,
+         "fused"),
+        (),
+        place,
+        max_entries=2,
+    )
+
+    def shard_body(w_feat, w_out, intens_l, u):
+        local = type(params)(
+            w_feat=w_feat, w_out=w_out,
+            thr_feat=jnp.zeros((w_feat.shape[1],), jnp.float32),
+            thr_out=jnp.zeros((w_out.shape[1],), jnp.float32),
+        )
+        return forward_counts_pallas(
+            local, intens_l, u, thr, min_v_mem,
+            tile_q=tile_q, interpret=interpret,
+            matmul_dtype=matmul_dtype, out_block=out_block,
+        )
+
+    with mesh:
+        fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(None, "model"), P("data", None), P()),
+            out_specs=P("data", "model"),
+            # pallas_call's out_shape carries no varying-mesh-axes metadata
+            # (jax 0.9 check_vma default rejects it); partitioning is exact
+            # by construction here — column-parallel, no collectives.
+            check_vma=False,
+        )
+        counts = fn(
+            placed.w_feat,
+            placed.w_out,
+            shard_queries(mesh, jnp.asarray(intens)),
+            replicate(mesh, jnp.asarray(u_thresh, jnp.float32)),
+        )
+    return np.asarray(counts)[:q, :r]

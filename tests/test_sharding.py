@@ -323,3 +323,56 @@ def test_fleet_sessions_sharded_bit_exact(mesh):
     for i in range(n_bins):
         counts, vf, vo, _ = sharded_fleet_step(qp, streams[i], vf, vo, mesh=mesh)
         np.testing.assert_array_equal(counts, ref_counts[i])
+
+
+def test_fused_sharded_matches_single_device(setup):
+    """The shard_map fused route (slab kernel per shard) must equal the
+    single-device stepwise oracle bit-for-bit: DP over queries, TP over the
+    place axis, odd R exercising the model-axis padding."""
+    from lens_tpu.core.network import forward_counts_stepwise
+    from lens_tpu.parallel.mesh import sharded_spike_counts_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(31)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 41)).astype(np.float32),  # odd place count
+        np.zeros(32, np.float32),
+        np.zeros(41, np.float32),
+    )
+    intens = rng.random((10, 16)).astype(np.float32)  # odd Q too
+    u = rng.random((12, 16)).astype(np.float32)
+    mesh2d = make_mesh(8, data=2)
+    got = sharded_spike_counts_fused(params, intens, u, mesh=mesh2d)
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    assert got.shape == (10, 41)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_sharded_bf16_slab_matches_scan(monkeypatch):
+    """bf16 + slab engaged per shard (the multi-chip large-model route):
+    bit-exact vs the scan bf16 route on bf16-representable weights."""
+    import lens_tpu.ops.fused_forward as ff
+    from lens_tpu.parallel.mesh import sharded_spike_counts_fused
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(32)
+    w1 = (rng.integers(-8, 9, (16, 64)) / 4.0).astype(np.float32)
+    w2 = (rng.integers(-8, 9, (64, 512)) / 4.0).astype(np.float32)
+    params = params_from_numpy(
+        w1, w2, np.zeros(64, np.float32), np.zeros(512, np.float32)
+    )
+    intens = rng.random((8, 16)).astype(np.float32)
+    u = rng.random((15, 16)).astype(np.float32)
+    # Engage the slab form per shard (128 places/shard at model=4).
+    monkeypatch.setattr(ff, "_W2_VALUE_BYTES_MAX", 1024)
+    mesh2d = make_mesh(8, data=2)
+    got = sharded_spike_counts_fused(
+        params, intens, u, mesh=mesh2d, matmul_dtype=jnp.bfloat16
+    )
+    expected = np.asarray(
+        forward_counts(params, intens, u, matmul_dtype=jnp.bfloat16)
+    )
+    np.testing.assert_array_equal(got, expected)
