@@ -789,6 +789,7 @@ def section_large(result: dict) -> None:
             fps_b * flops / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0, 2
         ),
         "large_batch_q": q,
+        "large_float_route": planned_route(n_in, n_feat, n_out, t_steps, q),
         "large_bf16_route": bf16_route,
         "large_bf16_scan_frames_per_sec": round(fps_b_scan, 1),
         "large_bf16_scan_mfu_pct_vs_bf16_peak": round(

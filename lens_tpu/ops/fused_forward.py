@@ -434,6 +434,37 @@ def _route_plan(
     return fits, out_block
 
 
+# Query-tile floor for the shrink search below.  Measured on v5e at
+# IN1024/FN2048: DB8192 f32 slab at the 256 floor runs 68% MFU-vs-bf16-peak
+# (2x the scan's 34-37%) and DB16384 bf16 at 256 runs 81% — a shrunk tile
+# keeps the fused kernel far ahead of the scan fallback, while tiles under
+# 256 undercut the MXU (the DB8192 bf16 sweep cratered to 40% with an
+# ill-matched slab at 256; 128 would be worse than finding a better plan).
+_SLAB_TILE_FLOOR = 256
+
+
+def _fit_tile(
+    n_in: int, n_feat: int, n_out: int, t_steps: int, q_bucket: int,
+    op_bytes: int,
+) -> tuple:
+    """(tile_q, out_block) for the largest tile <= q_bucket (halving, down
+    to _SLAB_TILE_FLOOR) whose plan fits this operand width's VMEM budget,
+    or (None, None).  Lets databases far past one tile's budget (the
+    per-tile buffers scale with tile_q * n_out) keep the fused kernel at a
+    smaller query tile instead of falling all the way back to the scan.
+    A bucket below the floor is its own floor (tiny CPU test buckets); the
+    floor itself is always tried (halving from e.g. 768 would skip it)."""
+    tq = q_bucket
+    floor = min(q_bucket, _SLAB_TILE_FLOOR)
+    while True:
+        fits, ob = _route_plan(n_in, n_feat, n_out, t_steps, tq, op_bytes)
+        if fits:
+            return tq, ob
+        if tq <= floor:
+            return None, None
+        tq = max(tq // 2, floor)
+
+
 def planned_route(
     n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int,
     matmul_dtype=None,
@@ -444,41 +475,45 @@ def planned_route(
     the router executes."""
     if not pallas_available():
         return "scan"
-    fits_f32, ob_f32 = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, 4)
-    if matmul_dtype is None:
-        if fits_f32:
-            return "pallas_slab" if ob_f32 is not None else "pallas"
+    fits_b, ob_b = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, 4)
+    if matmul_dtype is not None:
+        if fits_b and ob_b is None:
+            # f32 VALUE-resident models (the small-model class) are
+            # VMEM-bandwidth bound in the kernel — bf16 buys nothing there,
+            # so a bf16 ask keeps the measured scan route.
+            return "scan"
+        op_bytes = jnp.dtype(matmul_dtype).itemsize
+    else:
+        op_bytes = 4
+    tile, ob = _fit_tile(n_in, n_feat, n_out, t_steps, tile_q, op_bytes)
+    if tile is None:
         return "scan"
-    if fits_f32:
-        return "scan"  # f32-resident models keep the scan for bf16 asks
-    op_bytes = jnp.dtype(matmul_dtype).itemsize
-    fits, ob = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, op_bytes)
-    if fits:
-        return "pallas_slab" if ob is not None else "pallas"
-    return "scan"
+    return "pallas_slab" if ob is not None else "pallas"
 
 
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
                  min_v_mem=-1.0, q_bucket: int = 1024, matmul_dtype=None):
     """Route to the Pallas kernel on TPU, the XLA scan elsewhere.
 
-    The query axis is host-padded up to a multiple of `q_bucket` so every
-    dataset size reuses the same compiled executable (remote TPU compiles
-    cost minutes; padded rows are all-zero intensities, which never spike).
-    Models whose weights do not fit the kernel's VMEM-resident design
-    (kernel_vmem_bytes > budget) take the XLA scan, which tiles through HBM.
+    The query axis is host-padded up to a multiple of the chosen tile so
+    every dataset size reuses the same compiled executable (remote TPU
+    compiles cost minutes; padded rows are all-zero intensities, which
+    never spike).
 
-    `matmul_dtype` (the --precision bf16 route) targets GEMM-bound models.
-    Models that fit the f32-resident fused kernel are VMEM-bandwidth bound
-    there (bf16 operands buy nothing), so a bf16 request on them keeps the
-    measured scan route — with the same query-bucket padding discipline
-    (backend-aware on CPU, where padded rows run for real and compiles are
-    cheap).  Models too big for the f32-resident kernel but fitting with
-    bf16 weight banks take the bf16 fused kernel: the scan alternative
-    streams (T*Q, n) activations through HBM (~5 GB/batch at the
-    IN1024/FN2048/DB8192 scale), the kernel touches HBM only for weights
-    and the query tile.  When the model violates bf16's own exactness
-    premise (per-step feature spikes past bf16's exact-integer range —
+    Plan (shared with planned_route, which reports it):
+      1. Small models (f32 weights fit the VALUE-resident kernel at
+         q_bucket) run it — the proven headline executable; a bf16 ask on
+         them keeps the measured scan route (they are VMEM-bandwidth
+         bound; bf16 operands buy nothing).
+      2. Larger models take the SLAB kernel (out_block; w2 stays in its
+         VMEM window), searching tile sizes q_bucket, q_bucket/2, ... 256
+         for the largest that fits the slab budget — measured 68-88%
+         MFU-vs-bf16-peak across DB8192-16384 vs the scan's ~36%.
+      3. Only models past every tile's budget take the XLA scan, which
+         tiles the GEMMs through HBM ((T*Q, n) activation streams).
+
+    When a bf16 ask violates bf16's own exactness premise (per-step
+    feature spikes past bf16's exact-integer range —
     network.bf16_matmul_exact_ok), the route falls back to f32 with a
     warning rather than silently rounding spike counts.
     """
@@ -490,26 +525,27 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         matmul_dtype = None  # exactness first (the gate warns once)
 
     q = intensities.shape[0]
-    plan = functools.partial(
-        _route_plan,
+    shapes = (
         intensities.shape[1],
         params.w_feat.shape[1],
         params.w_out.shape[1],
         u_thresh.shape[0],
-        q_bucket,
     )
-    fits_f32, out_block_f32 = plan(4)
+    fits_b, ob_b = _route_plan(*shapes, q_bucket, 4)
     pallas_ok = pallas_available() and spike_thresholds.inp == 1.0
-    use_pallas = pallas_ok and fits_f32 and matmul_dtype is None
-    out_block = out_block_f32
+    tile = out_block = None
     use_pallas_cast = False
-    if (
-        pallas_ok
-        and matmul_dtype is not None
-        and not fits_f32  # f32-resident models keep the scan for bf16 asks
-    ):
-        use_pallas_cast, out_block = plan(jnp.dtype(matmul_dtype).itemsize)
-    if not (use_pallas or use_pallas_cast):
+    if pallas_ok:
+        if matmul_dtype is None:
+            tile, out_block = _fit_tile(*shapes, q_bucket, 4)
+        elif not (fits_b and ob_b is None):
+            # Not an f32 VALUE-resident (small) model — honor the bf16 ask
+            # with the fused kernel at the largest tile that fits.
+            tile, out_block = _fit_tile(
+                *shapes, q_bucket, jnp.dtype(matmul_dtype).itemsize
+            )
+            use_pallas_cast = tile is not None
+    if tile is None:
         if jax.default_backend() == "cpu":
             q_bucket = cpu_q_bucket(q)
         q_p = _round_up(q, q_bucket)
@@ -527,7 +563,7 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     # the hot path).
     out = forward_counts_pallas(
         params, intensities, u_thresh, spike_thresholds, min_v_mem,
-        tile_q=q_bucket,
+        tile_q=tile,
         matmul_dtype=matmul_dtype if use_pallas_cast else None,
         out_block=out_block,
     )

@@ -180,7 +180,11 @@ def quantized_route(
     quant_route field) both read it, so labels cannot drift from behavior.
     Route by EXACTNESS first, speed second: each route's integer-exactness
     envelope is checked against the model's static worst case."""
-    from lens_tpu.ops.fused_forward import _route_plan, pallas_available
+    from lens_tpu.ops.fused_forward import (
+        _fit_tile,
+        _route_plan,
+        pallas_available,
+    )
 
     n_feat, n_out = qparams.w_feat.shape[1], qparams.w_out.shape[1]
     if pallas_available() and quantized_pallas_exact_ok(qparams, t_steps):
@@ -190,16 +194,23 @@ def quantized_route(
             if (r_feat is not None and r_out is not None)
             else "corrected_recip"
         )
-        if _route_plan(n_in, n_feat, n_out, t_steps, q_bucket, 4)[0]:
+        fits_b, ob_b = _route_plan(n_in, n_feat, n_out, t_steps, q_bucket, 4)
+        if fits_b and ob_b is None:
+            # Small value-form models: VMEM-bandwidth bound, f32 optimal.
             return f"pallas_{suffix}"
-        # Past the f32 budget: bf16 MXU operands halve the weight banks.
-        # Exact iff int8 weights + per-step spikes stay in bf16's
-        # exact-integer range (quantized_bf16_operand_ok) — then still
-        # bit-identical to the int32 scan.
-        if quantized_bf16_operand_ok(qparams) and _route_plan(
-            n_in, n_feat, n_out, t_steps, q_bucket, 2
-        )[0]:
+        # Slab scales: bf16 MXU operands halve the weight banks — exact iff
+        # int8 weights + per-step spikes stay in bf16's exact-integer range
+        # (quantized_bf16_operand_ok), then still bit-identical to the
+        # int32 scan and measured faster than the f32 slab (18.3k vs 14.3k
+        # frames/s at DB8192) — so bf16 first, f32 slab as the fallback.
+        if (
+            quantized_bf16_operand_ok(qparams)
+            and _fit_tile(n_in, n_feat, n_out, t_steps, q_bucket, 2)[0]
+            is not None
+        ):
             return f"pallas_bf16_{suffix}"
+        if _fit_tile(n_in, n_feat, n_out, t_steps, q_bucket, 4)[0] is not None:
+            return f"pallas_{suffix}"
     if quantized_int8_ok(qparams):
         return "int8_hoisted"
     if quantized_scan_exact_ok(qparams):
@@ -370,11 +381,15 @@ def forward_counts_quantized_pallas(
     weight banks halve (fitting the slab kernel's VMEM budget at scales
     where f32 banks cannot).
     """
-    from lens_tpu.ops.fused_forward import _route_plan
+    from lens_tpu.ops.fused_forward import _fit_tile
 
     params_f = _pallas_params(qparams)
     recip_feat, recip_out = quantized_pallas_recips(qparams)
-    _, out_block = _route_plan(
+    # Same tile-shrink plan as best_forward: databases whose per-tile
+    # buffers blow the budget at the requested bucket keep the kernel at a
+    # smaller query tile (bit-identical — tile size never changes the
+    # per-query arithmetic).
+    fitted, out_block = _fit_tile(
         intensities.shape[1],
         qparams.w_feat.shape[1],
         qparams.w_out.shape[1],
@@ -382,6 +397,8 @@ def forward_counts_quantized_pallas(
         tile_q,
         2 if matmul_dtype is not None else 4,
     )
+    if fitted is not None:
+        tile_q = min(tile_q, fitted)
     # One fused dispatch per call (kernel + int cast inside a single jit):
     # every extra per-call device op is a measurable roundtrip on the relay.
     return _quantized_pallas_jit(

@@ -418,11 +418,19 @@ def test_planned_route_matches_router(monkeypatch):
     assert ff.planned_route(100, 200, 100, 25, 1024) == "pallas"
     # bf16 ask on an f32-resident model keeps the scan.
     assert ff.planned_route(100, 200, 100, 25, 1024, jnp.bfloat16) == "scan"
-    # Production-scale model: f32 does not fit, bf16 slab does.
-    assert ff.planned_route(1024, 2048, 8192, 250, 512) == "scan"
+    # Production-scale model: f32 value form does not fit; the tile-shrink
+    # search lands the f32 SLAB at a smaller tile, and bf16 fits at 512.
+    assert ff.planned_route(1024, 2048, 8192, 250, 512) == "pallas_slab"
     assert (
         ff.planned_route(1024, 2048, 8192, 250, 512, jnp.bfloat16)
         == "pallas_slab"
     )
+    # Double-database scale: bf16 slab still routes via the shrunk tile.
+    assert (
+        ff.planned_route(1024, 2048, 16384, 250, 768, jnp.bfloat16)
+        == "pallas_slab"
+    )
+    # Past every tile's budget (quadruple DB, f32): the scan fallback.
+    assert ff.planned_route(1024, 2048, 65536, 250, 768) == "scan"
     monkeypatch.setattr(ff, "pallas_available", lambda: False)
     assert ff.planned_route(100, 200, 100, 25, 1024) == "scan"
