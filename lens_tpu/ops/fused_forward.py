@@ -307,12 +307,11 @@ def forward_counts_pallas(
             transcendentals=0,
         ),
         # The VMEM-resident design IS the kernel (weights + threshold stream
-        # + membranes live on the Mosaic stack for all T steps); at large
-        # model scale that stack exceeds the compiler's default 16 MiB
-        # scoped-vmem cap ("Scoped allocation ... exceeded scoped vmem
-        # limit"), so raise the cap — but only for models that need it, so
-        # the small-model HLO (the proven cached headline executable) stays
-        # byte-identical.
+        # + membranes live in VMEM for all T steps); at large model scale
+        # that exceeds the compiler's default 16 MiB scoped-vmem cap
+        # ("Scoped allocation ... exceeded scoped vmem limit"), so raise
+        # the cap — but only for models that need it, keeping small-model
+        # HLOs unchanged.
         compiler_params=(
             pltpu.CompilerParams(
                 # The slab variant's windows+scratch alone can approach the
@@ -359,11 +358,13 @@ def cpu_q_bucket(q: int) -> int:
 # the compiler tiles the GEMMs through HBM.
 _PALLAS_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
 
-# w2 held as a vreg VALUE across the T-loop spills to scoped VMEM in unpacked
-# form (measured on v5e at IN1024/FN2048/DB8192 bf16: a ~106 MB scoped floor
-# that no query-tile size shrinks — 140.4M at tile_q=256, 114.8M at 64, vs
-# 128M hardware VMEM).  Past this w2 size the router switches the kernel to
-# its slab variant (out_block), which never materializes w2 as a value.
+# The small-model classification bound for PRECISION routing (see
+# _f32_value_class).  Historically this gated the value-form kernel: w2 held
+# as a vreg VALUE across the T-loop spills to scoped VMEM in unpacked form
+# (measured on v5e at IN1024/FN2048/DB8192 bf16: a ~106 MB scoped floor that
+# no query-tile size shrinks), so larger w2 required the slab form.  The
+# round-5 A/B then showed the slab form is FASTER at every scale, so it is
+# now the routed form everywhere and this bound only classifies "small".
 _W2_VALUE_BYTES_MAX = 4 * 1024 * 1024
 
 # Slab GEMM2 width.  v5e sweep at IN1024/FN2048/DB8192 bf16 tile_q=512:
@@ -410,28 +411,37 @@ def _route_plan(
 ) -> tuple:
     """(fits, out_block) for one MXU operand width.
 
-    out_block engages the slab kernel when w2 is too large to live as a vreg
-    value across the T-loop (see _W2_VALUE_BYTES_MAX); the fit test then uses
-    the slab budget (window accounting is accurate there) instead of the
-    value-resident budget (which must absorb whole-bank register spills)."""
+    The SLAB form is the routed form at every scale (round-5 interleaved
+    A/B on v5e: headline model 596k vs the carry-vreg value form's 511k
+    frames/s at Q=1024, 1061k vs 699k at Q=4096, and the value form could
+    not compile at all past ~4 MB of w2 — scratch-ref membranes beat
+    loop-carried vregs everywhere measured).  The value form remains
+    reachable via an explicit out_block=None for A/B tests."""
     pad = lambda n: -(-n // 128) * 128  # noqa: E731
-    w2_bytes = pad(n_feat) * pad(n_out) * op_bytes
-    out_block = (
-        min(_SLAB_OUT_BLOCK, pad(n_out))
-        if w2_bytes > _W2_VALUE_BYTES_MAX
-        else None
-    )
-    budget = (
-        _PALLAS_SLAB_VMEM_BUDGET_BYTES
-        if out_block is not None
-        else _PALLAS_VMEM_BUDGET_BYTES
-    )
+    out_block = min(_SLAB_OUT_BLOCK, pad(n_out))
     fits = (
         kernel_vmem_bytes(n_in, n_feat, n_out, t_steps, tile_q,
                           weight_bytes=op_bytes)
-        <= budget
+        <= _PALLAS_SLAB_VMEM_BUDGET_BYTES
     )
     return fits, out_block
+
+
+def _f32_value_class(
+    n_in: int, n_feat: int, n_out: int, t_steps: int, tile_q: int,
+) -> bool:
+    """The small-model class (w2 within the old value-form bound and the
+    whole f32 resident set inside the conservative budget).  Used for
+    PRECISION routing only: these models are VMEM/VPU-bound in the fused
+    kernel, so a bf16 ask keeps the measured scan route (bf16 operands buy
+    nothing and would change the bf16 contract's accumulation order), and
+    the quantized dispatcher prefers f32 over bf16 banks."""
+    pad = lambda n: -(-n // 128) * 128  # noqa: E731
+    return (
+        pad(n_feat) * pad(n_out) * 4 <= _W2_VALUE_BYTES_MAX
+        and kernel_vmem_bytes(n_in, n_feat, n_out, t_steps, tile_q)
+        <= _PALLAS_VMEM_BUDGET_BYTES
+    )
 
 
 # Query-tile floor for the shrink search below.  Measured on v5e at
@@ -475,20 +485,17 @@ def planned_route(
     the router executes."""
     if not pallas_available():
         return "scan"
-    fits_b, ob_b = _route_plan(n_in, n_feat, n_out, t_steps, tile_q, 4)
     if matmul_dtype is not None:
-        if fits_b and ob_b is None:
-            # f32 VALUE-resident models (the small-model class) are
-            # VMEM-bandwidth bound in the kernel — bf16 buys nothing there,
-            # so a bf16 ask keeps the measured scan route.
+        if _f32_value_class(n_in, n_feat, n_out, t_steps, tile_q):
+            # Small-class models are VMEM/VPU bound in the kernel — bf16
+            # buys nothing there, so a bf16 ask keeps the measured scan
+            # route (and its accumulation-order contract).
             return "scan"
         op_bytes = jnp.dtype(matmul_dtype).itemsize
     else:
         op_bytes = 4
-    tile, ob = _fit_tile(n_in, n_feat, n_out, t_steps, tile_q, op_bytes)
-    if tile is None:
-        return "scan"
-    return "pallas_slab" if ob is not None else "pallas"
+    tile, _ = _fit_tile(n_in, n_feat, n_out, t_steps, tile_q, op_bytes)
+    return "scan" if tile is None else "pallas_slab"
 
 
 def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds(),
@@ -531,16 +538,15 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         params.w_out.shape[1],
         u_thresh.shape[0],
     )
-    fits_b, ob_b = _route_plan(*shapes, q_bucket, 4)
     pallas_ok = pallas_available() and spike_thresholds.inp == 1.0
     tile = out_block = None
     use_pallas_cast = False
     if pallas_ok:
         if matmul_dtype is None:
             tile, out_block = _fit_tile(*shapes, q_bucket, 4)
-        elif not (fits_b and ob_b is None):
-            # Not an f32 VALUE-resident (small) model — honor the bf16 ask
-            # with the fused kernel at the largest tile that fits.
+        elif not _f32_value_class(*shapes, q_bucket):
+            # Not a small-class model — honor the bf16 ask with the fused
+            # kernel at the largest tile that fits.
             tile, out_block = _fit_tile(
                 *shapes, q_bucket, jnp.dtype(matmul_dtype).itemsize
             )

@@ -181,8 +181,8 @@ def quantized_route(
     Route by EXACTNESS first, speed second: each route's integer-exactness
     envelope is checked against the model's static worst case."""
     from lens_tpu.ops.fused_forward import (
+        _f32_value_class,
         _fit_tile,
-        _route_plan,
         pallas_available,
     )
 
@@ -194,9 +194,8 @@ def quantized_route(
             if (r_feat is not None and r_out is not None)
             else "corrected_recip"
         )
-        fits_b, ob_b = _route_plan(n_in, n_feat, n_out, t_steps, q_bucket, 4)
-        if fits_b and ob_b is None:
-            # Small value-form models: VMEM-bandwidth bound, f32 optimal.
+        if _f32_value_class(n_in, n_feat, n_out, t_steps, q_bucket):
+            # Small-class models: VMEM/VPU bound, f32 banks optimal.
             return f"pallas_{suffix}"
         # Slab scales: bf16 MXU operands halve the weight banks — exact iff
         # int8 weights + per-step spikes stay in bf16's exact-integer range

@@ -414,8 +414,9 @@ def test_planned_route_matches_router(monkeypatch):
     import lens_tpu.ops.fused_forward as ff
 
     monkeypatch.setattr(ff, "pallas_available", lambda: True)
-    # Headline-class model: tiny, f32-resident, value-form kernel.
-    assert ff.planned_route(100, 200, 100, 25, 1024) == "pallas"
+    # Headline-class model: the slab form is the routed form at every
+    # scale (round-5 A/B: it beats the value form on the headline too).
+    assert ff.planned_route(100, 200, 100, 25, 1024) == "pallas_slab"
     # bf16 ask on an f32-resident model keeps the scan.
     assert ff.planned_route(100, 200, 100, 25, 1024, jnp.bfloat16) == "scan"
     # Production-scale model: f32 value form does not fit; the tile-shrink
