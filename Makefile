@@ -44,7 +44,7 @@ stream:
 online-recall:
 	python -m lens_tpu.tools.online_recall --traverse all \
 		--json STREAM_RECALL.json --csv_dir lens/data/online \
-		--densities 2000,5000,50000
+		--densities 2000,5000,50000 --seeds 1,2,3
 
 # Chip-regime sweep: select hyperparameters by ONLINE accuracy at the 10/2
 # chip thresholds (the reference paper's hardware-sweep role).  Refreshes
