@@ -123,8 +123,11 @@ def _kernel(
         def kernel(intens_ref, u_ref, w1_ref, w2_ref, out_ref, v2_ref, v3_ref):
             t_steps = u_ref.shape[0]
             n_out = w2_ref.shape[1]
-            assert n_out % out_block == 0
-            n_slabs = n_out // out_block
+            # Static slab boundaries with a RAGGED final slab: n_out only
+            # pads to the 128-lane tile, never up to an out_block multiple
+            # (padding 1100 -> 2048 would nearly double GEMM2 and make the
+            # VMEM fit estimate diverge from the dispatched kernel).
+            n_slabs = -(-n_out // out_block)
             v2_ref[:] = jnp.zeros_like(v2_ref)
             v3_ref[:] = jnp.zeros_like(v3_ref)
             out_ref[:] = jnp.zeros_like(out_ref)
@@ -143,7 +146,7 @@ def _kernel(
                 v2_ref[:] = v2
                 s2c = s2.astype(op_dtype)
                 for j in range(n_slabs):  # static slices: unrolled, tiny J
-                    sl = slice(j * out_block, (j + 1) * out_block)
+                    sl = slice(j * out_block, min((j + 1) * out_block, n_out))
                     h2 = jnp.dot(
                         s2c, w2_ref[:, sl], preferred_element_type=jnp.float32
                     )
@@ -252,7 +255,10 @@ def forward_counts_pallas(
 
     n_in_p = _round_up(n_in, 128)
     n_feat_p = _round_up(n_feat, 128)
-    n_out_p = _round_up(n_out, 128 if out_block is None else out_block)
+    # 128 lanes only — the slab kernel handles a ragged final slab with
+    # static shapes, so n_out never pads up to an out_block multiple and
+    # kernel_vmem_bytes' estimate matches the kernel it gates.
+    n_out_p = _round_up(n_out, 128)
     # Bucket the query count to whole tiles: one compiled kernel per grid
     # size instead of one per dataset size (remote TPU compiles are minutes).
     q_p = _round_up(q, tile_q)
@@ -394,8 +400,9 @@ def kernel_vmem_bytes(
     128-lane tile): weights + threshold stream + per-tile buffers.
     `weight_bytes=2` sizes the bf16-operand variant, whose weight banks are
     half-width (membranes/counts stay f32)."""
-    pad = lambda n: -(-n // 128) * 128  # noqa: E731
-    n_in_p, n_feat_p, n_out_p = pad(n_in), pad(n_feat), pad(n_out)
+    n_in_p = _round_up(n_in, 128)
+    n_feat_p = _round_up(n_feat, 128)
+    n_out_p = _round_up(n_out, 128)
     return weight_bytes * (
         n_in_p * n_feat_p  # w1
         + n_feat_p * n_out_p  # w2
@@ -417,8 +424,7 @@ def _route_plan(
     not compile at all past ~4 MB of w2 — scratch-ref membranes beat
     loop-carried vregs everywhere measured).  The value form remains
     reachable via an explicit out_block=None for A/B tests."""
-    pad = lambda n: -(-n // 128) * 128  # noqa: E731
-    out_block = min(_SLAB_OUT_BLOCK, pad(n_out))
+    out_block = min(_SLAB_OUT_BLOCK, _round_up(n_out, 128))
     fits = (
         kernel_vmem_bytes(n_in, n_feat, n_out, t_steps, tile_q,
                           weight_bytes=op_bytes)
@@ -436,9 +442,9 @@ def _f32_value_class(
     kernel, so a bf16 ask keeps the measured scan route (bf16 operands buy
     nothing and would change the bf16 contract's accumulation order), and
     the quantized dispatcher prefers f32 over bf16 banks."""
-    pad = lambda n: -(-n // 128) * 128  # noqa: E731
     return (
-        pad(n_feat) * pad(n_out) * 4 <= _W2_VALUE_BYTES_MAX
+        _round_up(n_feat, 128) * _round_up(n_out, 128) * 4
+        <= _W2_VALUE_BYTES_MAX
         and kernel_vmem_bytes(n_in, n_feat, n_out, t_steps, tile_q)
         <= _PALLAS_VMEM_BUDGET_BYTES
     )
@@ -480,9 +486,9 @@ def planned_route(
     matmul_dtype=None,
 ) -> str:
     """The program best_forward dispatches for these shapes (assuming the
-    backend runs Pallas and the exactness gates pass): 'pallas',
-    'pallas_slab', or 'scan'.  Reporting/bench helper — uses the same plan
-    the router executes."""
+    backend runs Pallas and the exactness gates pass): 'pallas_slab' or
+    'scan'.  Reporting/bench helper — uses the same plan the router
+    executes."""
     if not pallas_available():
         return "scan"
     if matmul_dtype is not None:
@@ -508,14 +514,16 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
     never spike).
 
     Plan (shared with planned_route, which reports it):
-      1. Small models (f32 weights fit the VALUE-resident kernel at
-         q_bucket) run it — the proven headline executable; a bf16 ask on
-         them keeps the measured scan route (they are VMEM-bandwidth
-         bound; bf16 operands buy nothing).
-      2. Larger models take the SLAB kernel (out_block; w2 stays in its
-         VMEM window), searching tile sizes q_bucket, q_bucket/2, ... 256
-         for the largest that fits the slab budget — measured 68-88%
-         MFU-vs-bf16-peak across DB8192-16384 vs the scan's ~36%.
+      1. Every Pallas dispatch uses the SLAB kernel form (out_block; w2
+         stays in its VMEM window — the round-5 A/B showed it beats the
+         value form at every scale), searching tile sizes q_bucket,
+         q_bucket/2, ... 256 for the largest that fits the slab budget —
+         measured 68-88% MFU-vs-bf16-peak across DB8192-16384 vs the
+         scan's ~36%.
+      2. A bf16 ask on a SMALL-class model (_f32_value_class) keeps the
+         measured scan route: those models are VMEM/VPU bound in the
+         kernel (bf16 operands buy nothing) and the scan carries the bf16
+         contract's accumulation order.
       3. Only models past every tile's budget take the XLA scan, which
          tiles the GEMMs through HBM ((T*Q, n) activation streams).
 

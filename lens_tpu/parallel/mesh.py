@@ -455,7 +455,7 @@ def sharded_spike_counts_fused(
 
     from lens_tpu.core.network import SpikeThresholds
     from lens_tpu.ops.fused_forward import (
-        _route_plan,
+        _fit_tile,
         forward_counts_pallas,
         pallas_available,
     )
@@ -471,13 +471,29 @@ def sharded_spike_counts_fused(
     q = intensities.shape[0]
     r = params.w_out.shape[1]
     intens = pad_to_multiple(np.asarray(intensities, np.float32), 0, n_data)
-    tile_q = intens.shape[0] // n_data  # one tile per shard
+    shard_q = intens.shape[0] // n_data
     r_shard = -(-r // n_model)  # ceil: per-shard place count
     op_bytes = 2 if matmul_dtype is not None else 4
-    _, out_block = _route_plan(
+    # Per-shard query tiling through the same planner as the single-chip
+    # router: the kernel buckets each shard's queries to tile_q multiples
+    # itself (sublane-aligned), and the VMEM fit is enforced here — a
+    # too-large per-shard working set falls back to the scan-based TP
+    # route rather than failing at compile time on every chip.
+    tile_q, out_block = _fit_tile(
         intens.shape[1], params.w_feat.shape[1], r_shard,
-        u_thresh.shape[0], tile_q, op_bytes,
+        u_thresh.shape[0], min(1024, -(-shard_q // 8) * 8), op_bytes,
     )
+    if tile_q is None:
+        import logging
+
+        logging.getLogger("LENS").warning(
+            "fused sharded route: per-shard working set exceeds the slab "
+            "VMEM budget at every tile; using the scan-based TP route"
+        )
+        return tp_sharded_spike_counts(
+            params, intensities, u_thresh, min_v_mem=min_v_mem, mesh=mesh,
+            matmul_dtype=matmul_dtype, spike_thresholds=spike_thresholds,
+        )
 
     def place():
         w_out_p = pad_to_multiple(np.asarray(params.w_out), 1, n_model)

@@ -174,8 +174,9 @@ def quantized_route(
     qparams: QuantizedParams, n_in: int, t_steps: int, q_bucket: int
 ) -> str:
     """Which exact route forward_counts_quantized_bucketed dispatches for
-    this (model, shape): 'pallas_verified_recip' / 'pallas_corrected_recip'
-    / 'int8_hoisted' / 'int32_scan' / 'none' (no exact route exists).  The
+    this (model, shape): 'pallas_{verified,corrected}_recip' (f32 banks) /
+    'pallas_bf16_{verified,corrected}_recip' (bf16 banks, large models) /
+    'int8_hoisted' / 'int32_scan' / 'none' (no exact route exists).  The
     ONE routing predicate — the dispatcher and any reporting (bench.py's
     quant_route field) both read it, so labels cannot drift from behavior.
     Route by EXACTNESS first, speed second: each route's integer-exactness

@@ -127,9 +127,10 @@ def test_pallas_padding_isolation(setup):
 
 
 def test_vmem_routing_guard():
-    """Models whose weights exceed the fused kernel's VMEM-resident budget
-    must route to the XLA scan (the IN1024/FN2048/DB8192 synthetic blew
-    VMEM: 'Used 183.91M of 128.00M' — a routing bug for any large model)."""
+    """The resident-set estimate classifies scales correctly: the LENS
+    model class sits far inside the conservative (value-form) budget while
+    the large synthetic exceeds it (w2 alone is 64 MiB f32) — the size
+    classification the precision router and slab planner both key on."""
     from lens_tpu.ops.fused_forward import (
         _PALLAS_VMEM_BUDGET_BYTES,
         kernel_vmem_bytes,
@@ -435,3 +436,28 @@ def test_planned_route_matches_router(monkeypatch):
     assert ff.planned_route(1024, 2048, 65536, 250, 768) == "scan"
     monkeypatch.setattr(ff, "pallas_available", lambda: False)
     assert ff.planned_route(100, 200, 100, 25, 1024) == "scan"
+
+
+def test_pallas_slab_ragged_final_slab(setup):
+    """out_block that does not divide the padded n_out: the kernel's static
+    ragged final slab (384 = 256 + 128 at out_block=256 for n_out=200->256
+    ... exercised here with n_out padded past one slab) must stay bit-exact
+    — n_out never pads up to an out_block multiple (the fit estimate and
+    the dispatched kernel share the 128-lane padding)."""
+    rng = np.random.default_rng(41)
+    params = params_from_numpy(
+        rng.normal(0, 0.3, (16, 32)).astype(np.float32),
+        rng.normal(0, 0.3, (32, 300)).astype(np.float32),  # pads to 384
+        np.zeros(32, np.float32),
+        np.zeros(300, np.float32),
+    )
+    intens = rng.random((9, 16)).astype(np.float32)
+    u = rng.random((12, 16)).astype(np.float32)
+    got = np.asarray(
+        forward_counts_pallas(
+            params, intens, u, tile_q=16, out_block=256,
+            interpret=_interpret_needed(),
+        )
+    )  # slabs: 256 + ragged 128
+    expected = np.asarray(forward_counts_stepwise(params, intens, u))
+    np.testing.assert_array_equal(got, expected)

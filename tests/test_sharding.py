@@ -325,7 +325,7 @@ def test_fleet_sessions_sharded_bit_exact(mesh):
         np.testing.assert_array_equal(counts, ref_counts[i])
 
 
-def test_fused_sharded_matches_single_device(setup):
+def test_fused_sharded_matches_single_device():
     """The shard_map fused route (slab kernel per shard) must equal the
     single-device stepwise oracle bit-for-bit: DP over queries, TP over the
     place axis, odd R exercising the model-axis padding."""
@@ -350,10 +350,11 @@ def test_fused_sharded_matches_single_device(setup):
     np.testing.assert_array_equal(got, expected)
 
 
-def test_fused_sharded_bf16_slab_matches_scan(monkeypatch):
-    """bf16 + slab engaged per shard (the multi-chip large-model route):
-    bit-exact vs the scan bf16 route on bf16-representable weights."""
-    import lens_tpu.ops.fused_forward as ff
+def test_fused_sharded_bf16_slab_matches_scan():
+    """bf16 slab kernel per shard (the multi-chip large-model route):
+    bit-exact vs the scan bf16 route on bf16-representable weights.  The
+    slab form is engaged unconditionally (it is the routed form at every
+    scale since round 5)."""
     from lens_tpu.parallel.mesh import sharded_spike_counts_fused
 
     if len(jax.devices()) < 8:
@@ -366,8 +367,6 @@ def test_fused_sharded_bf16_slab_matches_scan(monkeypatch):
     )
     intens = rng.random((8, 16)).astype(np.float32)
     u = rng.random((15, 16)).astype(np.float32)
-    # Engage the slab form per shard (128 places/shard at model=4).
-    monkeypatch.setattr(ff, "_W2_VALUE_BYTES_MAX", 1024)
     mesh2d = make_mesh(8, data=2)
     got = sharded_spike_counts_fused(
         params, intens, u, mesh=mesh2d, matmul_dtype=jnp.bfloat16
