@@ -362,6 +362,11 @@ def section_quant(result: dict) -> None:
     # one snapshot, ratio 0.978 when interleaved).  Alternating float/quant
     # windows on the SAME batches cancels the drift — the ratio is the
     # noise-immune parity evidence, independent of absolute tunnel speed.
+    # Tunnel-noise evidence only: on the CPU fallback there is no drift to
+    # cancel and 6 extra Q=1024 windows would take hours at ~538 frames/s.
+    if jax.default_backend() == "cpu":
+        return
+
     def _win(fn) -> float:
         t0 = time.perf_counter()
         outs = [fn(b) for b in batches]
