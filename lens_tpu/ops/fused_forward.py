@@ -571,7 +571,10 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
             params, intensities, u_thresh, spike_thresholds, min_v_mem,
             matmul_dtype=matmul_dtype,
         )
-        return out[:q]
+        # Identity slices still dispatch a device gather per call (~0.2 ms
+        # host + one executable) — the headline is host-dispatch-bound at
+        # Q=1024 (BENCHMARKS.md dispatch-cost note), so elide the no-op.
+        return out if out.shape[0] == q else out[:q]
     # No pre-pad here: forward_counts_pallas buckets the query axis to the
     # same tile_q itself (a second zeros+scatter would be pure overhead on
     # the hot path).
@@ -581,4 +584,4 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         matmul_dtype=matmul_dtype if use_pallas_cast else None,
         out_block=out_block,
     )
-    return out[:q]
+    return out if out.shape[0] == q else out[:q]

@@ -250,15 +250,19 @@ def forward_counts_quantized_bucketed(
         qparams, intensities.shape[1], u_thresh.shape[0], q_bucket
     )
     if route.startswith("pallas"):
-        return forward_counts_quantized_pallas(
+        out = forward_counts_quantized_pallas(
             qparams, intensities, u_thresh, tile_q=q_bucket,
             matmul_dtype=jnp.bfloat16 if "bf16" in route else None,
-        )[:q]
+        )
+        # Identity slices dispatch a device gather per call — elide the
+        # no-op on the hot path (see fused_forward.best_forward).
+        return out if out.shape[0] == q else out[:q]
     if route == "int8_hoisted":
         # Models past the fused kernel's VMEM budget are GEMM-bound; the
         # hoisted int8 route runs those GEMMs in the MXU's int8 mode
         # (2x the bf16 peak) and is bit-identical to the int32 scan.
-        return forward_counts_quantized_int8(qparams, intensities, u_thresh)[:q]
+        out = forward_counts_quantized_int8(qparams, intensities, u_thresh)
+        return out if out.shape[0] == q else out[:q]
     if route == "none":
         raise ValueError(
             "quantized model exceeds every exact simulation envelope "
@@ -266,7 +270,8 @@ def forward_counts_quantized_bucketed(
             "feature spikes past int8); counts would silently misround — "
             "rescale the model or raise its spike thresholds"
         )
-    return forward_counts_quantized(qparams, intensities, u_thresh)[:q]
+    out = forward_counts_quantized(qparams, intensities, u_thresh)
+    return out if out.shape[0] == q else out[:q]
 
 
 _RECIP_CACHE: dict = {}
