@@ -707,7 +707,13 @@ def section_stream(result: dict) -> None:
         finally:
             sys.stdin = saved_stdin
             logging.disable(logging.NOTSET)
-        newest = sorted(os.listdir(cfg.output_base))[-1]
+        # Newest by mtime, NOT by name: run-dir names are %d%m%y-%H-%M-%S
+        # (day-first), which misorders lexicographically across month/year
+        # boundaries and would read the warm run's metrics.
+        newest = max(
+            os.listdir(cfg.output_base),
+            key=lambda d: os.path.getmtime(os.path.join(cfg.output_base, d)),
+        )
         with open(
             os.path.join(cfg.output_base, newest, "metrics.json")
         ) as f:
@@ -716,6 +722,9 @@ def section_stream(result: dict) -> None:
         result["stream_realtime_factor_t250_live"] = mlive["realtime_factor"]
         result["stream_live_dispatch_max_bins"] = mlive.get(
             "live_dispatch_max_bins"
+        )
+        result["stream_live_backlog_max_bins"] = mlive.get(
+            "live_backlog_max_bins"
         )
         result["stream_live_multi_dispatches"] = mlive.get(
             "live_multi_dispatches"

@@ -37,6 +37,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def trim_rows(out: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Drop query-bucket padding rows — but elide the IDENTITY slice:
+    out[:q] with q == out.shape[0] still goes through jnp's gather rewrite
+    and dispatches a device slice executable per call (~0.2 ms host on the
+    relay; the Q=1024 headline is host-dispatch-bound — BENCHMARKS.md
+    dispatch-cost note).  Every dispatcher return uses this helper so the
+    idiom cannot silently regress."""
+    return out if out.shape[0] == q else out[:q]
+
+
 def _spikes(
     v: jnp.ndarray,
     thr: float,
@@ -571,10 +581,7 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
             params, intensities, u_thresh, spike_thresholds, min_v_mem,
             matmul_dtype=matmul_dtype,
         )
-        # Identity slices still dispatch a device gather per call (~0.2 ms
-        # host + one executable) — the headline is host-dispatch-bound at
-        # Q=1024 (BENCHMARKS.md dispatch-cost note), so elide the no-op.
-        return out if out.shape[0] == q else out[:q]
+        return trim_rows(out, q)
     # No pre-pad here: forward_counts_pallas buckets the query axis to the
     # same tile_q itself (a second zeros+scatter would be pure overhead on
     # the hot path).
@@ -584,4 +591,4 @@ def best_forward(params, intensities, u_thresh, spike_thresholds=SpikeThresholds
         matmul_dtype=matmul_dtype if use_pallas_cast else None,
         out_block=out_block,
     )
-    return out if out.shape[0] == q else out[:q]
+    return trim_rows(out, q)

@@ -68,9 +68,10 @@ def sample_search_space(
     `wide` (round-5 chip-regime sweep): extends the space beyond the
     reference's feature triple with every trainable-regime knob that keeps
     trials in ONE vmapped program — output-layer threshold/fire ranges,
-    per-layer ip/stdp learning rates (log-uniform around the defaults),
-    and the exc/inh connection probabilities.  All keys are LensConfig
-    fields, so a trial dict applies with dataclasses.replace."""
+    per-layer stdp learning rates (log-uniform around the defaults; these
+    drive BOTH rates after the reference's first anneal — see the ip_rate
+    note below), and the exc/inh connection probabilities.  All keys are
+    LensConfig fields, so a trial dict applies with dataclasses.replace."""
     fl = np.linspace(0.1, 0.49, 16)
     fh = np.linspace(0.5, 1.0, 16)
     th = np.linspace(0.1, 0.5, 8)
@@ -93,13 +94,20 @@ def sample_search_space(
 
         for t in trials:
             f1, f2 = sorted(rng.choice(fo, 2))
+            # ip_rate_* are NOT search dimensions: the reference rebases
+            # eta_ip to 2*eta_stdp*pt at the first anneal (train_model.py:
+            # 151-152, 179 — init_itp = eta_stdp*2), so the configured
+            # ip_rate affects exactly one training step out of thousands.
+            # Sweeping it would dilute trial budget over a dead knob (and
+            # record misleading "winning" values).  stdp_rate_* drives BOTH
+            # rates and stays a real dimension.  Explicit trial lists
+            # (--trials_json) may still carry ip_rate_* keys — the vmapped
+            # overrides honor them for replay fidelity.
             t.update(
                 thr_h_out=float(rng.choice(th_out)),
                 fire_l_out=float(f1),
                 fire_h_out=float(f2),
-                ip_rate_feat=log_u(0.005, 0.08),  # default 0.02
                 stdp_rate_feat=log_u(0.0025, 0.04),  # default 0.01
-                ip_rate_out=log_u(0.005, 0.08),
                 stdp_rate_out=log_u(0.0025, 0.04),
                 f_exc=float(rng.choice(p_exc)),
                 f_inh=float(rng.choice(p_inh)),

@@ -233,6 +233,8 @@ def forward_counts_quantized_bucketed(
     free on the MXU), but the next power of two >= Q on CPU, where padded
     rows run the full integer scan for real (Q=100 in a 1024 bucket would be
     10x wasted CI work; CPU compiles are cheap)."""
+    from lens_tpu.ops.fused_forward import trim_rows
+
     q = intensities.shape[0]
     if q_bucket is None:
         if jax.default_backend() == "cpu":
@@ -255,14 +257,14 @@ def forward_counts_quantized_bucketed(
             matmul_dtype=jnp.bfloat16 if "bf16" in route else None,
         )
         # Identity slices dispatch a device gather per call — elide the
-        # no-op on the hot path (see fused_forward.best_forward).
-        return out if out.shape[0] == q else out[:q]
+        # no-op on the hot path (fused_forward.trim_rows).
+        return trim_rows(out, q)
     if route == "int8_hoisted":
         # Models past the fused kernel's VMEM budget are GEMM-bound; the
         # hoisted int8 route runs those GEMMs in the MXU's int8 mode
         # (2x the bf16 peak) and is bit-identical to the int32 scan.
         out = forward_counts_quantized_int8(qparams, intensities, u_thresh)
-        return out if out.shape[0] == q else out[:q]
+        return trim_rows(out, q)
     if route == "none":
         raise ValueError(
             "quantized model exceeds every exact simulation envelope "
@@ -271,7 +273,7 @@ def forward_counts_quantized_bucketed(
             "rescale the model or raise its spike thresholds"
         )
     out = forward_counts_quantized(qparams, intensities, u_thresh)
-    return out if out.shape[0] == q else out[:q]
+    return trim_rows(out, q)
 
 
 _RECIP_CACHE: dict = {}
@@ -402,8 +404,18 @@ def forward_counts_quantized_pallas(
         tile_q,
         2 if matmul_dtype is not None else 4,
     )
-    if fitted is not None:
-        tile_q = min(tile_q, fitted)
+    if fitted is None:
+        # Without a fitting slab plan, out_block=None would dispatch the
+        # carry-vreg VALUE form at the full tile — the form that cannot
+        # compile past ~4 MB of w2 (whole-bank vreg spills).  The routed
+        # path (quantized_route) never sends such a model here; a direct
+        # caller gets the routing error instead of a Mosaic OOM.
+        raise ValueError(
+            "model exceeds the fused kernel's slab VMEM budget at every "
+            "query tile — use forward_counts_quantized_bucketed (routes to "
+            "the int8-hoisted/int32 scan) instead of the pallas entry point"
+        )
+    tile_q = min(tile_q, fitted)
     # One fused dispatch per call (kernel + int cast inside a single jit):
     # every extra per-call device op is a measurable roundtrip on the relay.
     return _quantized_pallas_jit(

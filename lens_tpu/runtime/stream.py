@@ -64,6 +64,14 @@ QUERIES_PER_SEQUENCE = 4  # run_speck.py:180: average every 4 timebins
 SEQUENCE_ROWS = 4  # run_speck.py:200: match once 4 averages collected
 SPIKE_FLUSH_BINS = 64  # flush spike_data.npy every N bins (and at stream end)
 LIVE_CHUNK_MAX = 8  # live backlog catch-up bound (power-of-two buckets 2/4/8)
+# Feeder backpressure bound: a faster-than-realtime producer (e.g.
+# `cat recording.txt | ... --event_file -`) must not grow the completed-bin
+# ring without limit — each queued bin holds a (substeps, n_in) int32 raster
+# plus a (roi, roi) uint32 frame (~130 KB at timebin 250), so 256 bins caps
+# the backlog near 32 MB while leaving the drain loop far more headroom than
+# it needs (at the measured 27x-realtime drain a full queue clears in ~2.4 s).
+# A real-time sensor never approaches this; only pipe replays do.
+LIVE_BACKLOG_MAX_BINS = 256
 
 
 def stream_dot_bound_coeffs(qparams: QuantizedParams) -> Tuple[float, float]:
@@ -382,11 +390,46 @@ def live_aer_group_source(cfg: LensConfig, line_source, frames_only: bool = Fals
     sess_lock = threading.Lock()
     feeder_exc: list = []
 
+    timebin_s = cfg.timebin / 1000.0
+
     def _feed_arrays(t_a, x_a, y_a) -> bool:
-        with sess_lock:
-            if stop.is_set():
-                return False
-            sess.feed(t_a, x_a, y_a)
+        # Backpressure: when a faster-than-realtime producer (pipe replay)
+        # outruns the drain loop, PAUSE ingest instead of queueing completed
+        # bins without bound — the pipe buffer then paces the upstream
+        # process, exactly like the pre-ring line-loop did implicitly.  The
+        # ingest thread still never stalls on a real-time sensor (a live
+        # source cannot exceed 1 completed bin per timebin).  Each feed is
+        # sliced to ~one timebin of EVENT time so a single large parsed
+        # batch (1 MB buffer chunk, sparse-stream line buffer) cannot blow
+        # past the cap before the pending() check runs — the queue is thus
+        # bounded by LIVE_BACKLOG_MAX_BINS + 2 always.  Slice boundaries
+        # are a pacing heuristic only (searchsorted assumes the near-sorted
+        # order sensors emit — binning correctness is the session's job and
+        # is unaffected by where a feed splits); the per-slice cost (one
+        # lock + ctypes feed per bin of event time) is negligible against
+        # the drain loop's dispatch rates.
+        span = timebin_s
+        n = len(t_a)
+        start = 0
+        while start < n:
+            end = (
+                int(np.searchsorted(t_a, t_a[start] + span, side="right"))
+                if t_a[-1] - t_a[start] > span
+                else n
+            )
+            end = max(end, start + 1)
+            with sess_lock:
+                if stop.is_set():
+                    return False
+                sess.feed(t_a[start:end], x_a[start:end], y_a[start:end])
+            start = end
+            while not stop.is_set():
+                with sess_lock:
+                    if stop.is_set():
+                        return False
+                    if sess.pending() <= LIVE_BACKLOG_MAX_BINS:
+                        break
+                time.sleep(0.005)
         return True
 
     def _feed_bytes(raw) -> None:
@@ -897,6 +940,12 @@ def run_event_driven(cfg: LensConfig):
             # Oversized backlogs split into LIVE_CHUNK_MAX slices (compile
             # buckets stay bounded: 1, 2, 4, 8 — all warmed above).
             for group in src:
+                # True backlog depth BEFORE slicing — the per-dispatch stat
+                # below saturates at LIVE_CHUNK_MAX and cannot distinguish
+                # a 9-bin stall from a 400-bin one.
+                dispatch_stats["backlog_max"] = max(
+                    dispatch_stats["backlog_max"], len(group)
+                )
                 if not static_cap_holds:
                     for raster, _ in group:
                         _guard_bin(raster)
@@ -906,7 +955,10 @@ def run_event_driven(cfg: LensConfig):
         groups_iter = _live_grouped(live_groups)
     else:
         groups_iter = _chunked(bins_iter)
-    dispatch_stats = {"max": 0, "multi": 0}  # live catch-up observability
+    # live catch-up observability: max = largest single dispatch (capped at
+    # LIVE_CHUNK_MAX), backlog_max = deepest queue observed, multi = number
+    # of multi-bin dispatches.
+    dispatch_stats = {"max": 0, "multi": 0, "backlog_max": 0}
 
     # try/finally: a Ctrl-C or device error mid-stream must still leave the
     # artifacts current (the per-bin save this flush schedule replaced was
@@ -1009,9 +1061,11 @@ def run_event_driven(cfg: LensConfig):
                 "stream_chunk_bins": chunk,
             }
             if live:
-                # Catch-up observability: how far behind the loop ever fell
+                # Catch-up observability: largest single dispatch (capped
+                # at LIVE_CHUNK_MAX), deepest backlog actually observed,
                 # and how many dispatches used the chunked program.
                 summary["live_dispatch_max_bins"] = dispatch_stats["max"]
+                summary["live_backlog_max_bins"] = dispatch_stats["backlog_max"]
                 summary["live_multi_dispatches"] = dispatch_stats["multi"]
             with open(os.path.join(output_folder, "metrics.json"), "w") as f:
                 json.dump(summary, f, indent=2)

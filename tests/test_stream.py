@@ -17,6 +17,17 @@ from lens_tpu.runtime.stream import (
 )
 
 
+def _newest_run_dir(out_base):
+    """Newest run dir by mtime — run-dir names are %d%m%y-%H-%M-%S
+    (day-first), which misorders lexicographically across month
+    boundaries (same fix as bench.py's live-stream section)."""
+    return os.path.join(
+        out_base,
+        max(os.listdir(out_base),
+            key=lambda d: os.path.getmtime(os.path.join(out_base, d))),
+    )
+
+
 @pytest.fixture
 def qparams():
     rng = np.random.default_rng(0)
@@ -316,7 +327,7 @@ def test_chunked_replay_bit_identical_to_per_bin(tiny_dataset_cfg, tmp_path):
                 output_base=out_base,
             )
         )
-        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        newest = _newest_run_dir(out_base)
         outputs[chunk] = (np.load(os.path.join(newest, "spike_data.npy")), m.matches)
     spikes1, matches1 = outputs[1]
     spikes5, matches5 = outputs[5]
@@ -408,7 +419,7 @@ def test_hot_filter_disabled_stream_runs_with_runtime_guard(
         )
     )
     assert m is not None
-    newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+    newest = _newest_run_dir(out_base)
     assert np.load(os.path.join(newest, "spike_data.npy")).shape[0] >= 6
 
 
@@ -482,7 +493,7 @@ def test_power_trace_is_replay_speed_independent(tiny_dataset_cfg, tmp_path):
                 output_base=out_base,
             )
         )
-        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        newest = _newest_run_dir(out_base)
         traces[chunk] = np.load(
             os.path.join(newest, "power_data.npy"), allow_pickle=True
         )
@@ -566,7 +577,7 @@ def test_live_adaptive_chunking_soak(tiny_dataset_cfg, tmp_path, monkeypatch):
                 output_base=out_base,
             )
         )
-        newest = os.path.join(out_base, sorted(os.listdir(out_base))[-1])
+        newest = _newest_run_dir(out_base)
         spikes = np.load(os.path.join(newest, "spike_data.npy"))
         with open(os.path.join(newest, "metrics.json")) as f:
             metrics = json.load(f)

@@ -266,3 +266,42 @@ def test_live_frames_only_mode_same_frames():
     for (_, f1), (r2, f2) in zip(full, fonly):
         np.testing.assert_array_equal(f1, f2)
         assert r2.shape[0] == 1  # single substep: raster work skipped
+
+
+def test_live_pipe_replay_backpressure_bounds_backlog(monkeypatch):
+    """A faster-than-realtime producer (pipe replay) must NOT grow the
+    completed-bin ring without bound: the feeder pauses once
+    LIVE_BACKLOG_MAX_BINS bins are queued, so even a deliberately slow
+    consumer never drains a backlog much deeper than the cap (the pipe
+    buffer then paces the upstream process).  Regression test for the
+    unbounded-ingest review finding."""
+    import time
+
+    from lens_tpu import config as _cfg_mod
+    from lens_tpu.config import LensConfig
+    from lens_tpu.runtime import stream as stream_mod
+    from lens_tpu.runtime.stream import live_aer_group_source
+
+    cap = 8
+    monkeypatch.setattr(stream_mod, "LIVE_BACKLOG_MAX_BINS", cap)
+    cfg = LensConfig(dims=10, roi_dim=80, timebin=50)
+    rng = np.random.default_rng(7)
+    # 120 bins' worth of events, delivered instantly (in-memory iterable =
+    # an infinitely fast pipe).
+    lines = []
+    for i in range(120 * 5):
+        t = i * 0.01
+        x = int(rng.integers(cfg.roi_x, cfg.roi_x + 80))
+        y = int(rng.integers(cfg.roi_y, cfg.roi_y + 80))
+        lines.append(f"{t:.4f} {x} {y} 1\n")
+    max_group = 0
+    n_bins = 0
+    for group in live_aer_group_source(cfg, iter(lines)):
+        max_group = max(max_group, len(group))
+        n_bins += len(group)
+        time.sleep(0.02)  # slow consumer: forces the backlog to the cap
+    # Every bin still arrives exactly once...
+    assert n_bins >= 118
+    # ...but the drained backlog stays near the cap (slack: bins completed
+    # while a drain is in flight), instead of the whole 120-bin stream.
+    assert max_group <= cap + 4, max_group

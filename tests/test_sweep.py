@@ -90,7 +90,12 @@ def test_wide_space_keys_are_config_fields():
     for t in trials:
         assert set(t) <= names
         assert t["fire_l_out"] <= t["fire_h_out"]
-        assert 0.005 <= t["ip_rate_feat"] <= 0.08
+        # ip_rate_* must NOT be sampled: the reference rebases eta_ip to
+        # 2*eta_stdp at the first anneal (train_model.py:151-152), so it
+        # is a dead knob past step 0 — a search dimension there dilutes
+        # trial budget and records misleading "winning" values.
+        assert "ip_rate_feat" not in t and "ip_rate_out" not in t
+        assert 0.0025 <= t["stdp_rate_feat"] <= 0.04
         assert 0.0025 <= t["stdp_rate_out"] <= 0.04
         assert 0.1 <= t["f_exc"] <= 0.6
         assert 0.25 <= t["f_inh"] <= 0.95
