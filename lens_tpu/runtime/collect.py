@@ -34,6 +34,11 @@ def run_collector(cfg: LensConfig) -> str:
             "for live stdin ingest (text AER lines)"
         )
 
+    # Stale-frame safety: check_args (above) asserts the target folder does
+    # not exist yet, so a reused data_name can never mix a previous
+    # collection's frame_*.png into this run's CSV (create_csv_from_images
+    # enumerates the whole folder — mixing would silently corrupt the
+    # dataset).  Guarded by tests/test_e2e_cli.py.
     img_folder = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, cfg.data_name)
     os.makedirs(img_folder, exist_ok=True)
 
@@ -41,15 +46,22 @@ def run_collector(cfg: LensConfig) -> str:
         # LIVE collection: text AER lines on stdin feed the native ring
         # session; each frame is written the moment its timebin completes —
         # the reference's devkit collector-thread role (collect_data.py:
-        # 186-202) with stdin as the source.
+        # 186-202) with stdin as the source.  try/finally: a live feed ends
+        # by Ctrl-C, and the frames already on disk must still get their
+        # CSV (without it the collected dataset is untrainable).
         import sys
 
         from lens_tpu.runtime.stream import live_aer_bin_source
 
         n_frames = 0
-        for _, frame in live_aer_bin_source(cfg, sys.stdin, frames_only=True):
-            _save_frame(img_folder, n_frames, frame)
-            n_frames += 1
+        try:
+            for _, frame in live_aer_bin_source(cfg, sys.stdin, frames_only=True):
+                _save_frame(img_folder, n_frames, frame)
+                n_frames += 1
+        finally:
+            if n_frames:
+                _finish_csv(cfg, img_folder, n_frames, logger)
+        return img_folder
     else:
         # One loader with the streaming path (stream.load_raw_events), then
         # the same time-sort --event_driven applies: the accumulation
@@ -76,10 +88,14 @@ def run_collector(cfg: LensConfig) -> str:
         for i, frame in enumerate(frames):
             _save_frame(img_folder, i, frame)
         n_frames = len(frames)
+    _finish_csv(cfg, img_folder, n_frames, logger)
+    return img_folder
+
+
+def _finish_csv(cfg: LensConfig, img_folder: str, n_frames: int, logger) -> None:
     csv_path = os.path.join(cfg.data_dir, f"{cfg.data_name}.csv")
     create_csv_from_images(img_folder, csv_path)
     logger.info(f"Collected {n_frames} frames to {img_folder}; CSV at {csv_path}")
-    return img_folder
 
 
 def _save_frame(img_folder: str, idx: int, frame: np.ndarray) -> None:

@@ -17,7 +17,11 @@ import numpy as np
 
 
 def haversine(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
-    """Great-circle distance in meters."""
+    """Great-circle distance in meters.
+
+    Exported for API parity with create_data_csv.py:6-18; nothing in the
+    main path calls it (the reference's only consumer, distance_threshold,
+    was dead behavior there and is deliberately not reproduced)."""
     R = 6371.0
     lon1, lat1, lon2, lat2 = map(math.radians, (lon1, lat1, lon2, lat2))
     dlon = lon2 - lon1
@@ -90,9 +94,15 @@ def get_gps(nmea_file_path: str) -> np.ndarray:
                 continue
             if math.hypot(lat - prev[0], lon - prev[1]) <= 1e-4:
                 continue
+            if t is None or first_time is None:
+                # A fix without a parseable timestamp cannot be aligned to
+                # frame times — recording it as 0.0 would break the elapsed
+                # sequence's monotonicity and snap every frame annotation to
+                # a wrong fix in create_csv_from_images' catch-up loop.
+                continue
             lats.append(lat)
             lons.append(lon)
-            times.append((t - first_time) if (t is not None and first_time is not None) else 0.0)
+            times.append(t - first_time)
             prev = (lat, lon)
     return np.stack([lats, lons, times], axis=1) if lats else np.zeros((0, 3))
 

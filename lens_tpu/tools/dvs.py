@@ -77,10 +77,11 @@ def read_zip_events(zip_path: str, inner_name: Optional[str] = None):
     """Events + (width, height) from an extraction zip."""
     name = inner_name or os.path.splitext(os.path.basename(zip_path))[0] + ".txt"
     with zipfile.ZipFile(zip_path) as z, z.open(name) as f:
+        import shutil
         import tempfile
 
         with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as tmp:
-            tmp.write(f.read())
+            shutil.copyfileobj(f, tmp)  # stream: no whole-file bytes object
             tmp_path = tmp.name
     try:
         t, x, y, pol, dims = events_native.parse_text_events(tmp_path)
@@ -185,6 +186,14 @@ def simple_rep_frames(
     if len(t) == 0:
         return np.zeros((0, len(patch_map.centroids)), np.uint8)
     h, w = patch_map.dims
+    # Events outside the patch map's sensor dims (a map inferred from one
+    # traverse's extents reused on another) are IGNORED like the reference's
+    # dict lookup would, not indexed out of range.
+    in_dims = (x.astype(np.int64) < w) & (y.astype(np.int64) < h)
+    if not in_dims.all():
+        t, x, y = t[in_dims], x[in_dims], y[in_dims]
+    if len(t) == 0:
+        return np.zeros((0, len(patch_map.centroids)), np.uint8)
     if hot_pixels:
         # Vectorized exclusion: one boolean image indexed by the flat
         # coordinates (the per-event tuple-hash comprehension took tens of
@@ -201,7 +210,10 @@ def simple_rep_frames(
     t, slots = t[sel], slots[sel]
     if len(t) == 0:
         return np.zeros((0, len(patch_map.centroids)), np.uint8)
-    bins = np.floor((t - t[0]) * timebin_hz).astype(np.int64)
+    # Origin = the EARLIEST event, not the first row: loaders do not sort
+    # (unlike collect.py), and with t[0] as origin an earlier event would
+    # get a negative bin that np.add.at wraps into the LAST frames.
+    bins = np.floor((t - t.min()) * timebin_hz).astype(np.int64)
     n_frames = min(int(bins.max()) + 1, max_frames)
     sel = bins < n_frames
     frames = np.zeros((n_frames, len(patch_map.centroids)), np.float64)
@@ -215,6 +227,12 @@ def save_frames_png(frames: np.ndarray, output_dir: str) -> None:
     for i, fr in enumerate(frames):
         if fr.ndim == 1:
             side = int(np.sqrt(fr.shape[0]))
+            if side * side != fr.shape[0]:
+                raise ValueError(
+                    f"frames have {fr.shape[0]} pixels, which is not a "
+                    "perfect square — --pixels must be one (e.g. 49, 100) "
+                    "to write square PNGs"
+                )
             fr = fr.reshape(side, side)
         Image.fromarray(np.clip(fr, 0, 255).astype(np.uint8)).save(
             os.path.join(output_dir, f"images_{i:05d}.png")
@@ -241,6 +259,11 @@ def create_video_from_frames(
     if not names:
         raise ValueError("No frames found in the specified folder.")
     first = cv2.imread(os.path.join(frames_dir, names[0]), cv2.IMREAD_COLOR)
+    if first is None:
+        raise ValueError(
+            f"could not read {names[0]} in {frames_dir} (corrupt or not an "
+            "image) — needed to size the video"
+        )
     h, w = first.shape[:2]
     video = cv2.VideoWriter(
         output_file, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)

@@ -63,3 +63,20 @@ def test_create_csv(tmp_path):
     assert lines[0] == "Image_name,index"
     assert lines[1].startswith("f_0.png,0")
     assert len(lines) == 4
+
+
+def test_get_gps_skips_fixes_without_timestamps(tmp_path):
+    """A fix whose sentence has no parseable time cannot be aligned to
+    frame times — recording it as elapsed 0.0 would break monotonicity and
+    snap every frame annotation to a wrong fix (review regression)."""
+    p = tmp_path / "mixed.nmea"
+    p.write_text(
+        # GGA with time, GLL without one, GGA with a later time.
+        "$GPGGA,120000.0,2730.0000,S,15300.0000,E,1,8,1.0,10.0,M,,M,,\n"
+        "$GPGLL,2731.0000,S,15301.0000,E,,A\n"
+        "$GPGGA,120010.0,2732.0000,S,15302.0000,E,1,8,1.0,10.0,M,,M,,\n"
+    )
+    gps = get_gps(str(p))
+    assert gps.shape[0] == 2  # the timeless GLL fix is skipped
+    times = gps[:, 2]
+    assert (np.diff(times) > 0).all()  # strictly increasing elapsed times

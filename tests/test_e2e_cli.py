@@ -298,3 +298,71 @@ def test_save_input_roundtrips_through_frame_rebuild(tiny_dataset, tiny_model, t
         Image.open(os.path.join(rebuilt_dir, sorted(os.listdir(rebuilt_dir))[0]))
     )
     np.testing.assert_array_equal(png, np.clip(first, 0, 255).astype(np.uint8))
+
+
+def test_collect_data_refuses_stale_frames(tiny_dataset, tmp_path):
+    """Re-collecting into a data_name that already holds frames must refuse
+    loudly (the checker's existing-dir assert): create_csv_from_images
+    enumerates the whole folder, so a stale longer recording would
+    silently pad the new CSV with wrong places."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.collect import run_collector
+
+    rng = np.random.default_rng(1)
+    n_ev = 500
+    t = np.sort(rng.uniform(0, 0.1, n_ev))
+    x = rng.integers(23, 23 + 16, n_ev)
+    y = rng.integers(0, 16, n_ev)
+    np.save(tmp_path / "ev.npy", np.stack([t, x, y, np.ones(n_ev)], axis=1))
+    cfg = replace(
+        tiny_dataset, collect_data=True,
+        event_file=str(tmp_path / "ev.npy"), data_name="reused",
+    )
+    run_collector(cfg)
+    with pytest.raises(AssertionError, match="already exists"):
+        run_collector(cfg)
+
+
+def test_collect_data_live_interrupt_still_writes_csv(tiny_dataset, monkeypatch):
+    """Ctrl-C is the normal way to end a live collection; the frames
+    already on disk must still get their annotation CSV (try/finally)."""
+    from dataclasses import replace
+
+    from lens_tpu.runtime.collect import run_collector
+
+    # A real Ctrl-C raises in the MAIN thread (the consumer loop saving
+    # frames), not in the feeder thread — simulate it at the save site
+    # after at least one frame is on disk.
+    from lens_tpu.runtime import collect as collect_mod
+
+    real_save = collect_mod._save_frame
+
+    def interrupting_save(img_folder, idx, frame):
+        real_save(img_folder, idx, frame)
+        if idx >= 1:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(collect_mod, "_save_frame", interrupting_save)
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = np.sort(rng.uniform(0, 0.2, n))
+    x = rng.integers(23, 23 + 16, n)
+    y = rng.integers(0, 16, n)
+    lines = "".join(f"{tv:.6f} {xv} {yv} 1\n" for tv, xv, yv in zip(t, x, y))
+    import io
+    import sys
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(lines))
+    cfg = replace(
+        tiny_dataset, collect_data=True, event_file="-", data_name="livecut"
+    )
+    with pytest.raises(KeyboardInterrupt):
+        run_collector(cfg)
+    folder = os.path.join(cfg.data_dir, cfg.dataset, cfg.camera, "livecut")
+    pngs = [f for f in os.listdir(folder) if f.endswith(".png")]
+    assert len(pngs) >= 1
+    csv_path = os.path.join(cfg.data_dir, "livecut.csv")
+    assert os.path.exists(csv_path)
+    with open(csv_path) as f:
+        assert len(f.readlines()) == len(pngs) + 1  # header + one row/frame
