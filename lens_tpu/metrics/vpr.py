@@ -121,6 +121,14 @@ def recall_at_k(
 
     Queries with no ground-truth match at all are dropped from the
     denominator, mirroring the reference.
+
+    Tie behavior is the reference's, reproduced deliberately: the top-K
+    selection is the same default-kind `argsort(0)[-K:]` call
+    (metrics.py:219), whose order among EQUAL scores is unspecified — and
+    can differ from create_pr's argmax (first max).  Integer spike-count
+    matrices tie often, so R@1 and the PR curve may disagree on a tied
+    best match exactly as they would in the reference; "fixing" one side
+    would break recorded-output parity.
     """
     S_in = np.asarray(S_in, dtype=np.float64)
     GT = np.asarray(GThard).astype(bool)

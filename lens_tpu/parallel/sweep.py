@@ -20,9 +20,10 @@ Search space matches optimizer.py:63-67: fire_l_feat in linspace(0.1, 0.49,
 sweep_results.json.
 
 `wide=True` (round-5 chip-regime sweep) extends the space beyond the
-reference triple: output-layer threshold/fire ranges, per-layer ip/stdp
+reference triple: output-layer threshold/fire ranges, per-layer stdp
 learning rates (routed through train_layer_scan's traced overrides so
-trials stay in one vmapped program), and exc/inh connection probabilities;
+trials stay in one vmapped program; ip rates are a dead knob past step 0 —
+see sample_search_space), and exc/inh connection probabilities;
 per-trial `sequence_length` is honored at scoring time.  `trials=[...]`
 injects an explicit list (grid refinement, reproducibility).
 """
@@ -341,7 +342,7 @@ def run_sweep(
             recall_at_k(dist, gttol_cache[seq_i], K=k) for k in RECALL_NS
         ]
     # numpy 2 renamed trapz; support both (pyproject pins only "numpy").
-    _trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    from lens_tpu.utils.compat import trapezoid as _trapezoid
     auc = _trapezoid(recalls, np.array(RECALL_NS), axis=1)
     best = int(np.argmax(auc))
 

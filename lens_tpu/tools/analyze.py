@@ -2,13 +2,23 @@
 
 A working replacement for the reference's broken scratch script
 lens/src/match.py (it references undefined globals — SURVEY.md C17):
-load a saved similarity_matrix.npy (or the distance matrix from an inference
-run), recompute sequence matching / Recall@N against a GT file, and emit the
-standard artifacts.
+load a saved similarity matrix, recompute Recall@N (and PR) against a GT
+file, and emit the standard artifacts.
 
-    python -m lens_tpu.tools.analyze --matrix out/similarity_matrix.npy \
-        --gt lens/dataset/example/davis128/example-reference_example-query_GT.npy \
-        --sequence_length 2 --gt_tolerance 3
+Two matrix layouts exist and need different GT treatment:
+
+  OFFLINE (a (Q, R) count/distance matrix from an inference run):
+    python -m lens_tpu.tools.analyze --matrix counts.npy \
+        --gt .../example-reference_example-query_GT.npy \
+        --sequence_length 2 --gt_tolerance 3 --apply_sequence
+
+  ONLINE (a streaming run's similarity_matrix.npy — the OnlineMatcher
+  appends one (n_places,) row per 4-query sequence column; it is already
+  sequence-matched and is scored against column-granularity GT, never the
+  offline sequence crop):
+    python -m lens_tpu.tools.analyze --online \
+        --matrix lens/output/<ts>/similarity_matrix.npy \
+        --gt .../example-reference_example-query_GT.npy --gt_tolerance 3
 """
 
 from __future__ import annotations
@@ -26,7 +36,7 @@ from lens_tpu.run_model import RECALL_NS  # the canonical N list — no drift
 from lens_tpu.utils.table import ascii_table
 
 # numpy 2 renamed trapz; support both (pyproject pins only "numpy").
-_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+from lens_tpu.utils.compat import trapezoid as _trapezoid
 
 
 def analyze(
@@ -39,12 +49,12 @@ def analyze(
     """Recall@N + PR + R@100P for a similarity matrix.
 
     `apply_sequence` reruns the offline sequence conv (for raw (Q, R) count
-    matrices); saved online matrices are already sequence-matched.  Either
-    way the GT gets the run pipeline's full treatment (crop for the
+    matrices).  The GT gets the run pipeline's full treatment (crop for the
     sequence length, dilate, transpose — run_model.py evaluate), and the PR
     artifacts use the same transposed orientation as the run's own
     (reference run_model.py:318-327), so re-analysis reproduces the run's
-    numbers exactly.
+    numbers exactly.  For a STREAMING run's similarity_matrix.npy use
+    analyze_online — the offline crop does not apply there.
     """
     S = np.asarray(matrix, np.float64)
     if apply_sequence and sequence_length:
@@ -63,6 +73,31 @@ def analyze(
     }
 
 
+def analyze_online(matrix: np.ndarray, GT: np.ndarray, gt_tolerance: int) -> dict:
+    """Recall@N + PR for a STREAMING run's similarity_matrix.npy.
+
+    The artifact is (n_cols, n_places) — one row per matcher column — so it
+    is transposed and scored against column-granularity GT
+    (online_recall.streaming_column_gt), exactly how STREAM_RECALL.json's
+    online rows are produced; the offline sequence crop must NOT apply
+    (see online_recall's module docstring)."""
+    from lens_tpu.tools.online_recall import streaming_column_gt
+
+    S = np.asarray(matrix, np.float64).T  # (n_places, n_cols)
+    GTcols = streaming_column_gt(GT, gt_tolerance, S.shape[1])
+    recalls = {n: round(recall_at_k(S, GTcols, K=n), 4) for n in RECALL_NS}
+    P, R, _ = create_pr(S.T, GTcols.T, matching="single", n_thresh=100)
+    return {
+        "recall_at_n": recalls,
+        "precision": P,
+        "recall": R,
+        "recall_at_100_precision": recall_at_100_precision(
+            S.T, GTcols.T, matching="single"
+        ),
+        "auc": float(_trapezoid(list(recalls.values()), RECALL_NS)),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Re-analyze a saved similarity matrix")
     p.add_argument("--matrix", required=True)
@@ -70,12 +105,22 @@ def main(argv=None) -> int:
     p.add_argument("--sequence_length", type=int, default=0)
     p.add_argument("--gt_tolerance", type=int, default=0)
     p.add_argument("--apply_sequence", action="store_true")
+    p.add_argument(
+        "--online", action="store_true",
+        help="matrix is a streaming run's similarity_matrix.npy "
+        "(matcher-column rows; scored against column-granularity GT)",
+    )
     p.add_argument("--out", default="", help="write results JSON here")
     args = p.parse_args(argv)
 
     S = np.load(args.matrix)
     GT = np.load(args.gt)
-    res = analyze(S, GT, args.sequence_length, args.gt_tolerance, args.apply_sequence)
+    if args.online:
+        res = analyze_online(S, GT, args.gt_tolerance)
+    else:
+        res = analyze(
+            S, GT, args.sequence_length, args.gt_tolerance, args.apply_sequence
+        )
     print(
         ascii_table(
             ["N", *map(str, RECALL_NS)],

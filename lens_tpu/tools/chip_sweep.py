@@ -51,13 +51,13 @@ from lens_tpu.tools.online_recall import (
     FEAT_SCALE,
     OUT_SCALE,
     gt_path_for,
-    online_recall,
+    online_recall_values,
     traverse_configs,
 )
 from lens_tpu.utils import checkpoint
 from lens_tpu.utils.table import ascii_table
 
-_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+from lens_tpu.utils.compat import trapezoid as _trapezoid
 
 
 def build_stream_rasters(
@@ -139,8 +139,12 @@ def score_counts(
             matcher.push(c)
         matcher.close()
         S = np.load(os.path.join(tmp, "similarity_matrix.npy")).T
-    recalls = online_recall(S, GT, cfg.GT_tolerance)
-    return recalls, float(_trapezoid(recalls, np.array(RECALL_NS)))
+    # AUC on the UNROUNDED recalls: online_recall rounds to 2 decimals for
+    # display, and a trapezoid over N=[1..25] amplifies that rounding to
+    # ~0.1 AUC — enough to misrank close trials in a refinement sweep.
+    raw = online_recall_values(S, GT, cfg.GT_tolerance)
+    recalls = [round(v, 2) for v in raw]
+    return recalls, float(_trapezoid(raw, np.array(RECALL_NS)))
 
 
 def stream_eval(
@@ -306,6 +310,14 @@ def main(argv=None) -> int:
         )
         rows.append(
             [i, round(float(sweep.auc[i]), 2), online[0], round(auc_on, 2), s_best]
+        )
+    if not results:
+        # --n_trials 0 or an empty --trials_json: fail BEFORE max() with a
+        # clear message (the raster build + baseline eval above already ran,
+        # but a cryptic "max() arg is an empty sequence" helps nobody).
+        raise SystemExit(
+            "chip_sweep: no trials to score (empty --trials_json or "
+            "--n_trials 0)"
         )
     best = max(range(len(results)), key=lambda i: results[i]["online_auc"])
 

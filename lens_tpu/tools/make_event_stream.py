@@ -54,8 +54,23 @@ def synthesize_events(
     return events[np.argsort(events[:, 0], kind="stable")]
 
 
-def load_frames_folder(folder: str) -> np.ndarray:
-    names = sorted(f for f in os.listdir(folder) if f.endswith(".png"))
+def load_frames_folder(
+    folder: str, skip: int = 1, max_samples: int = 0
+) -> np.ndarray:
+    """Frames in NATURAL order (image_2 before image_10 — sad._natural_key,
+    the ordering every other pipeline uses; a lexical sort would synthesize
+    a frame-permuted stream that silently collapses recall against GT),
+    with the dataset loader's skip/max_samples selection so a synthesized
+    stream covers the same traverse subset as the offline pipelines
+    (--filter / query_places)."""
+    from lens_tpu.sad import _natural_key
+
+    names = sorted(
+        (f for f in os.listdir(folder) if f.endswith(".png")),
+        key=_natural_key,
+    )[:: max(skip, 1)]
+    if max_samples:
+        names = names[:max_samples]
     return np.stack(
         [np.asarray(Image.open(os.path.join(folder, n)).convert("L")) for n in names]
     )
@@ -68,9 +83,17 @@ def main(argv=None) -> int:
     p.add_argument("--timebin", type=float, default=250.0, help="bin length, ms")
     p.add_argument("--events_per_bin", type=int, default=50_000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--filter", type=int, default=1,
+        help="take every Nth frame (the dataset loader's skip)"
+    )
+    p.add_argument(
+        "--max_frames", type=int, default=0,
+        help="cap the traverse length (the dataset loader's max_samples)"
+    )
     args = p.parse_args(argv)
 
-    frames = load_frames_folder(args.frames)
+    frames = load_frames_folder(args.frames, args.filter, args.max_frames)
     events = synthesize_events(
         frames, args.timebin / 1000.0, args.events_per_bin, seed=args.seed
     )

@@ -115,10 +115,16 @@ def prepare_stream_model(cfg: LensConfig, models_dir: str, tmp_dir: str) -> None
 
 def load_online_matrix(output_base: str) -> np.ndarray:
     """(n_places, n_cols) similarity matrix from the newest run's artifact
-    (the appender stores one (n_places,) row per sequence column)."""
-    run_dir = sorted(
-        os.path.join(output_base, d) for d in os.listdir(output_base)
-    )[-1]
+    (the appender stores one (n_places,) row per sequence column).
+
+    Newest by MTIME, not by name: run dirs are %d%m%y-%H-%M-%S (day-first),
+    which misorders lexicographically across day/month boundaries — a sweep
+    crossing midnight into a new month would silently re-score the previous
+    run's matrix (same fix as bench.py's live-stream section)."""
+    run_dir = max(
+        (os.path.join(output_base, d) for d in os.listdir(output_base)),
+        key=os.path.getmtime,
+    )
     return np.load(os.path.join(run_dir, "similarity_matrix.npy")).T
 
 
@@ -138,9 +144,19 @@ def streaming_column_gt(GT: np.ndarray, tolerance: int, n_cols: int) -> np.ndarr
     return cols
 
 
-def online_recall(S_stream: np.ndarray, GT: np.ndarray, tolerance: int) -> list:
+def online_recall_values(
+    S_stream: np.ndarray, GT: np.ndarray, tolerance: int
+) -> list:
+    """UNROUNDED online Recall@N — for AUC/ranking (chip_sweep trial
+    selection), where display rounding would add ~0.1 AUC of noise."""
     GTcols = streaming_column_gt(GT, tolerance, S_stream.shape[1])
-    return [round(recall_at_k(S_stream, GTcols, K=n), 2) for n in RECALL_NS]
+    return [recall_at_k(S_stream, GTcols, K=n) for n in RECALL_NS]
+
+
+def online_recall(S_stream: np.ndarray, GT: np.ndarray, tolerance: int) -> list:
+    return [
+        round(v, 2) for v in online_recall_values(S_stream, GT, tolerance)
+    ]
 
 
 def gt_path_for(cfg: LensConfig) -> str:
@@ -250,9 +266,23 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
     # compensated weights — see BENCHMARKS.md chip-regime sections).
     chip = find_chip_model(stream.models_dir, name)
     if chip is not None:
-        chip_name, chip_params = chip
+        chip_name, chip_params, chip_meta = chip
+        # Replay at the winner's RECORDED operating point: chip_sweep
+        # --save_best writes sequence_length/timebin into the sidecar, and
+        # a winner tuned at e.g. 500 ms bins scored at the stock cadence
+        # would silently non-reproduce its advertised recall.  (The bundled
+        # winners match the stock settings, so this is drift-proofing.)
+        from dataclasses import replace as _replace
+
+        chip_stream = _replace(
+            stream,
+            sequence_length=int(
+                chip_meta.get("sequence_length", stream.sequence_length)
+            ),
+            timebin=int(chip_meta.get("timebin", stream.timebin)),
+        )
         crun = run_stream_once(
-            stream, GT, events_per_bin, seed, params=chip_params
+            chip_stream, GT, events_per_bin, seed, params=chip_params
         )
         report["chip_model"] = chip_name
         report["chip_online"] = crun["online"]
@@ -261,10 +291,12 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
 
 
 def find_chip_model(models_dir: str, traverse: str):
-    """(name, params) of the bundled `chip-{traverse}` sweep winner, or
-    None.  The chip checkpoints' architecture can differ from the stock
-    model's (the sunset winner is feature_multiplier 16), so the name is
-    discovered rather than derived from the traverse config."""
+    """(name, params, sidecar_meta) of the bundled `chip-{traverse}` sweep
+    winner, or None.  The chip checkpoints' architecture can differ from
+    the stock model's (the sunset winner is feature_multiplier 16), so the
+    name is discovered rather than derived from the traverse config; the
+    .config.json sidecar carries the winner's recorded operating point
+    (sequence_length/timebin) for the replay."""
     import glob
 
     hits = sorted(
@@ -273,7 +305,12 @@ def find_chip_model(models_dir: str, traverse: str):
     if not hits:
         return None
     name = os.path.splitext(os.path.basename(hits[-1]))[0]
-    return name, checkpoint.load_model(models_dir, name)
+    meta = {}
+    sidecar = os.path.join(models_dir, name + ".config.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+    return name, checkpoint.load_model(models_dir, name), meta
 
 
 def write_overlay_csv(path: str, report: dict) -> None:
@@ -369,11 +406,12 @@ def main(argv=None) -> int:
             band.append(row)
         payload["seed_band_example"] = band
         payload["seed_band_note"] = (
-            "independent stream synthesis seeds at 20k events/bin; the "
-            "pipeline is deterministic per stream (integer dynamics), so "
-            "the band is synthesis noise. Seed 0 is the headline report "
-            "row. Generated on the CPU backend: the streaming path is "
-            "int32 and backend-identical (tests/test_stream_oracle.py)."
+            f"independent stream synthesis seeds at {args.events_per_bin} "
+            "events/bin; the pipeline is deterministic per stream (integer "
+            f"dynamics), so the band is synthesis noise. Seed {args.seed} "
+            "is the headline report row. Generated on the CPU backend: the "
+            "streaming path is int32 and backend-identical "
+            "(tests/test_stream_oracle.py)."
         )
         r1 = [r["online"][0] for r in band]
         print(f"seed band (R@1 over seeds {args.seeds}): {min(r1)}-{max(r1)}")

@@ -75,3 +75,24 @@ def test_analyze_reproduces_run_pipeline_both_modes():
     assert from_saved["recall_at_n"] == hand
     P, R, _ = create_pr(S_seq.T, GTtol.T, matching="single", n_thresh=100)
     assert from_saved["precision"] == P and from_saved["recall"] == R
+
+
+def test_analyze_online_matches_online_recall_scoring():
+    """--online scores a streaming run's matcher artifact exactly like
+    online_recall's published rows: transpose + column-granularity GT, NOT
+    the offline sequence crop (which would shape-mismatch or silently
+    mis-score — review regression)."""
+    from lens_tpu.tools.analyze import analyze_online
+    from lens_tpu.tools.online_recall import online_recall
+
+    rng = np.random.default_rng(3)
+    n_places, n_q = 20, 20
+    n_cols = n_q // 4  # QUERIES_PER_SEQUENCE
+    # The artifact layout: one (n_places,) row per matcher column.
+    artifact = rng.integers(0, 50, (n_cols, n_places)).astype(np.float64)
+    GT = np.eye(n_q, dtype=int)
+    res = analyze_online(artifact, GT, gt_tolerance=2)
+    expected = online_recall(artifact.T, GT, tolerance=2)
+    got = [round(res["recall_at_n"][n], 2) for n in (1, 5, 10, 15, 20, 25)]
+    assert got == expected
+    assert res["auc"] > 0
