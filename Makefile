@@ -46,12 +46,17 @@ online-recall:
 		--json STREAM_RECALL.json --csv_dir lens/data/online \
 		--densities 2000,5000,50000 --seeds 1,2,3
 
-# Chip-regime sweep: select hyperparameters by ONLINE accuracy at the 10/2
-# chip thresholds (the reference paper's hardware-sweep role).  Refreshes
-# CHIP_SWEEP.json and the bundled chip-example checkpoint.
+# Chip-regime sweep winner: retrains the recorded best trial of the
+# feature_multiplier-8 widened-space example sweep (BENCHMARKS.md has the
+# campaign; the winner beats dense-frame SAD at EVERY N on the canonical
+# seed-0 stream).  Refreshes CHIP_SWEEP.json and the bundled chip-example
+# checkpoint.  Deterministic: shared init key (train_seed) + seed-0 stream.
+# For a fresh search instead of the recorded winner, drop --trials_json and
+# pass --wide --n_trials 8 --feature_multiplier 8.
 chip-sweep:
-	python -m lens_tpu.tools.chip_sweep --n_trials 8 --save_best \
-		--json CHIP_SWEEP.json
+	python -m lens_tpu.tools.chip_sweep --feature_multiplier 8 \
+		--trials_json lens_tpu/tools/chip_example_trial.json \
+		--save_best --json CHIP_SWEEP.json
 
 # Sunset capacity winner (round-5): retrains the recorded best trial of the
 # feature_multiplier-16 capacity sweep (BENCHMARKS.md has the full ladder)

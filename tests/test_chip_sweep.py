@@ -16,6 +16,7 @@ import numpy as np
 from lens_tpu.tools.chip_sweep import build_stream_rasters, stream_eval
 from lens_tpu.tools.online_recall import (
     EVENTS_PER_BIN,
+    find_chip_model,
     gt_path_for,
     traverse_configs,
 )
@@ -25,16 +26,23 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
 def test_shipped_chip_model_beats_pretrained_online():
+    """Round-5 example capacity winner: the shipped `chip-example`
+    checkpoint — feature_multiplier 8 (FN800), widened-space chip-regime
+    swept at the 10/2 thresholds — must beat BOTH the threshold-compensated
+    pretrained model AND the dense-frame SAD baseline at EVERY N on the
+    canonical seed-0 stream (CHIP_SWEEP.json, BENCHMARKS.md).  The chip
+    winner's architecture differs from the stock model's, so the name is
+    discovered (find_chip_model), not derived."""
+    _trapz = getattr(np, "trapezoid", None) or np.trapz
+
     cfgs = traverse_configs(ROOT, "/tmp/chip_sweep_test_out")
     stream_cfg = cfgs["example"]["stream"]
     GT = np.load(gt_path_for(stream_cfg))
     rasters = build_stream_rasters(stream_cfg, EVENTS_PER_BIN, seed=0)
 
-    chip_name = stream_cfg.model_name().replace(
-        stream_cfg.reference, "chip-example", 1
-    )
     # The bundled checkpoint ships PRE-compensated for the 10/2 regime.
-    chip = checkpoint.load_model(stream_cfg.models_dir, chip_name)
+    chip_name, chip, _meta = find_chip_model(stream_cfg.models_dir, "example")
+    assert "FN800" in chip_name, chip_name
     pretrained = checkpoint.load_model(
         stream_cfg.models_dir, stream_cfg.model_name()
     )
@@ -44,10 +52,18 @@ def test_shipped_chip_model_beats_pretrained_online():
     )
     base_recalls, base_auc = stream_eval(pretrained, rasters, GT, stream_cfg)
 
+    # SAD on example (STREAM_RECALL.json, driver-replayed every round).
+    sad = [0.75, 0.84, 0.88, 0.91, 0.91, 0.94]
+    ns = [1, 5, 10, 15, 20, 25]
+    sad_auc = float(_trapz(sad, ns))
+
     # Deterministic pipeline: the shipped numbers reproduce exactly.
-    assert chip_recalls[0] >= 0.6, chip_recalls
+    assert chip_recalls == [0.79, 0.96, 1.0, 1.0, 1.0, 1.0], chip_recalls
     assert chip_recalls[0] > base_recalls[0]
     assert chip_auc > base_auc
+    assert chip_auc > sad_auc  # 23.40 vs 21.13
+    for n, r, s in zip(ns, chip_recalls, sad):
+        assert r > s, (n, r, s)
 
     # The committed sweep record must agree with the live evaluation.
     committed = os.path.join(ROOT, "CHIP_SWEEP.json")
@@ -143,9 +159,13 @@ def test_chip_model_through_the_real_cli_stream_path(tmp_path):
     for d in ("example-reference", "example-query"):
         os.symlink(os.path.join(src_cam, d), cam / d)
     os.symlink(os.path.join(src_cam, "example-reference"), cam / "chip-example")
+    # The name also carries the architecture (FN{n}): deploying the FM8
+    # winner means the config's feature_multiplier matches the checkpoint,
+    # exactly as a reference user would set it for a non-stock model.
     cfg = replace(
         stream_cfg,
         reference="chip-example",
+        feature_multiplier=8.0,
         event_file=stream_path,
         data_dir=str(data) + os.sep,
     )
