@@ -59,12 +59,13 @@ chip-sweep:
 		--save_best --json CHIP_SWEEP.json
 
 # Sunset capacity winner (round-5): retrains the recorded best trial of the
-# feature_multiplier-16 capacity sweep (BENCHMARKS.md has the full ladder)
-# and refreshes CHIP_SWEEP_SUNSET.json + the bundled chip-sunset checkpoint.
+# feature_multiplier-32 capacity sweep (BENCHMARKS.md has the full ladder;
+# FM64 regresses, FM32 is the peak) and refreshes CHIP_SWEEP_SUNSET.json +
+# the bundled chip-sunset checkpoint.
 # Deterministic: shared init key (train_seed) + seed-3 stream synthesis.
 chip-sweep-sunset:
 	python -m lens_tpu.tools.chip_sweep --traverse sunset --seed 3 \
-		--epoch_feat 64 --epoch_out 64 --feature_multiplier 16 \
+		--epoch_feat 64 --epoch_out 64 --feature_multiplier 32 \
 		--trials_json lens_tpu/tools/chip_sunset_trial.json \
 		--save_best --json CHIP_SWEEP_SUNSET.json
 

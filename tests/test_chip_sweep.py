@@ -76,11 +76,12 @@ def test_shipped_chip_model_beats_pretrained_online():
 
 def test_shipped_chip_sunset_beats_sad_online():
     """Round-5 sunset capacity result (VERDICT r4 weak #3): the shipped
-    `chip-sunset` checkpoint — feature_multiplier 16 (FN784), chip-regime
-    swept at the 10/2 thresholds — must beat BOTH the threshold-compensated
-    pretrained sunset model AND the dense-frame SAD baseline by online AUC,
-    and lead SAD at every N >= 10 (the reference's published pattern: SAD
-    ahead at N=1, LENS ahead at high N — reference
+    `chip-sunset` checkpoint — feature_multiplier 32 (FN1568), the peak of
+    the capacity ladder (FM64 regresses), chip-regime swept at the 10/2
+    thresholds — must beat BOTH the threshold-compensated pretrained sunset
+    model AND the dense-frame SAD baseline by online AUC, and lead SAD at
+    every N >= 5 (the reference's published pattern: SAD ahead at N=1,
+    LENS ahead at high N — reference
     data/Figure3/220724-16-14-33/SADvLENS_indoor.csv).  Deterministic
     pipeline (seeded synthesis, integer dynamics): the shipped numbers
     reproduce exactly (CHIP_SWEEP_SUNSET.json)."""
@@ -92,7 +93,7 @@ def test_shipped_chip_sunset_beats_sad_online():
     rasters = build_stream_rasters(stream_cfg, EVENTS_PER_BIN, seed=3)
 
     chip = checkpoint.load_model(
-        stream_cfg.models_dir, "chip-sunset_LENS_IN49_FN784_DB641"
+        stream_cfg.models_dir, "chip-sunset_LENS_IN49_FN1568_DB641"
     )
     pretrained = checkpoint.load_model(
         stream_cfg.models_dir, stream_cfg.model_name()
@@ -108,11 +109,11 @@ def test_shipped_chip_sunset_beats_sad_online():
     ns = [1, 5, 10, 15, 20, 25]
     sad_auc = float(_trapz(sad, ns))
 
-    assert chip_recalls == [0.38, 0.67, 0.8, 0.87, 0.89, 0.91], chip_recalls
+    assert chip_recalls == [0.41, 0.72, 0.81, 0.87, 0.9, 0.93], chip_recalls
     assert chip_auc > base_auc
-    assert chip_auc > sad_auc  # 18.85 vs 18.07
+    assert chip_auc > sad_auc  # 19.23 vs 18.07
     for n, r, s in zip(ns, chip_recalls, sad):
-        if n >= 10:
+        if n >= 5:
             assert r > s, (n, r, s)
 
     committed = os.path.join(ROOT, "CHIP_SWEEP_SUNSET.json")
