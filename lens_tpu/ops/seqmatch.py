@@ -57,9 +57,13 @@ def online_sequence_conv(seq_block: np.ndarray, seq_len: int) -> np.ndarray:
     for k in range(seq_len):
         # convolution: out[i, j] += a[i - (k - c), j - (k - c)]
         d = k - c
-        src_r = slice(max(0, -d), min(h, h - d))
-        dst_r = slice(max(0, d), min(h, h + d))
-        src_c = slice(max(0, -d), min(w, w - d))
-        dst_c = slice(max(0, d), min(w, w + d))
-        out[dst_r, dst_c] += a[src_r, src_c]
+        # Explicit bounds, skipping taps shifted entirely off the block —
+        # for L > 2*n_queries some |d| >= w, where the old slice arithmetic
+        # produced a NEGATIVE stop (Python-wrapped into a bogus non-empty
+        # slice) and crashed on shape mismatch.
+        r0, r1 = max(0, -d), min(h, h - d)
+        c0, c1 = max(0, -d), min(w, w - d)
+        if r1 <= r0 or c1 <= c0:
+            continue
+        out[r0 + d : r1 + d, c0 + d : c1 + d] += a[r0:r1, c0:c1]
     return out / seq_len

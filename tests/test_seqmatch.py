@@ -30,8 +30,11 @@ def test_sequence_conv_zero_is_identity():
     np.testing.assert_array_equal(np.asarray(sequence_conv(sim, 0)), sim)
 
 
-@pytest.mark.parametrize("L", [2, 4])
+@pytest.mark.parametrize("L", [1, 2, 3, 4, 5, 6, 8, 10])
 def test_online_sequence_conv_matches_scipy(L):
+    # L > the 4-query block width is the regression case: kernel taps shift
+    # entirely off the block ('same' mode keeps the output shape), and the
+    # old slice arithmetic wrapped a negative stop into a bogus slice.
     rng = np.random.default_rng(1)
     block = rng.random((4, 25))  # (queries, places), run_speck.py:200
     expected = (
