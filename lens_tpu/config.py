@@ -102,6 +102,7 @@ class LensConfig:
     shard_db: bool = False  # force TP-sharding of the place/database axis
     shard_db_auto_places: int = 65536  # auto-TP when reference_places >= this
     precision: str = "f32"  # 'f32' | 'bf16' — GEMM operand precision (float path)
+    online_matcher: str = "block"  # 'block' (run_speck parity) | 'full'
     resume: bool = False  # --train_model: continue from the last block checkpoint
 
     # --- derived (filled by __post_init__) ---
@@ -193,6 +194,10 @@ _HELP = {
     "weights rounded to bf16, accumulation stays f32)",
     "resume": "Resume an interrupted --train_model run from its last "
     "epoch-block checkpoint (bit-identical to an uninterrupted run)",
+    "online_matcher": "Streaming sequence matcher: 'block' (reference "
+    "run_speck.py 4-query block protocol) or 'full' (incremental full-matrix "
+    "valid conv — offline-pipeline accuracy live; windows beyond L~7 keep "
+    "helping, unlike the block protocol)",
 }
 
 

@@ -705,6 +705,112 @@ class OnlineMatcher:
         self._matrix_file.close()
 
 
+class FullOnlineMatcher:
+    """Streaming sequence matcher with OFFLINE-pipeline semantics
+    (`--online_matcher full`; a TPU-native extension, no reference
+    counterpart).
+
+    The reference's online protocol (run_speck.py:177-226, OnlineMatcher
+    above) averages 4-bin blocks and convolves inside a 4-row window, so
+    sequence-window taps beyond the block truncate — its accuracy saturates
+    near L ≈ 7 while offline SAD keeps improving with L (BENCHMARKS.md,
+    matched-L characterization).  This matcher instead emits, per completed
+    bin, one column of the offline valid diagonal-mean matrix
+    (ops/seqmatch.sequence_conv semantics, run_model.py:248-252): with R
+    reference places and window L, bin q >= L-1 completes the query window
+    starting at i0 = q-L+1 and yields
+
+        col[j0] = mean_k counts[i0+k, j0+k],   j0 = 0..R-L
+
+    from a rolling buffer of the last L count rows — O(L*R) work and
+    O(L*R) state per bin, no growth with stream length.  The on-disk
+    artifact (distance_matrix_online.npy, one row per query window) is
+    exactly ``sequence_conv(counts, L).T``: a live run gets the full-matrix
+    accuracy the offline pipeline measures, match latency = L timebins.
+    Logged matches are the argmax j0 (the REFERENCE-WINDOW START index, the
+    offline pipeline's matching convention), one per bin after warmup —
+    denser than the block protocol's one per 4 bins.
+    """
+
+    MATCHES_KEEP = OnlineMatcher.MATCHES_KEEP
+    MATRIX_KEEP_COLS = OnlineMatcher.MATRIX_KEEP_COLS
+    FLUSH_ROWS = 8  # header re-write cadence (file is valid .npy at flush)
+
+    def __init__(self, n_places: int, sequence_length: int, output_folder: str, logger):
+        assert 0 < sequence_length <= n_places, (
+            f"sequence_length {sequence_length} exceeds the reference "
+            f"traverse ({n_places} places)"
+        )
+        self.n_places = n_places
+        self.L = sequence_length
+        self.output_folder = output_folder
+        self.logger = logger
+        self._window: list = []  # last <=L per-bin count rows (int64)
+        self._bin = 0
+        self.matches: list = []
+        self.n_matches_total = 0
+        self.matrix: Optional[np.ndarray] = None  # (R-L+1, cols) tail
+        from lens_tpu.runtime.artifacts import NpyAppender
+
+        self._matrix_file = NpyAppender(
+            os.path.join(output_folder, "distance_matrix_online.npy"),
+            (n_places - sequence_length + 1,),
+            np.float64,
+        )
+
+    def push(self, counts: np.ndarray) -> None:
+        self._window.append(counts.astype(np.int64))
+        if len(self._window) < self.L:
+            self._bin += 1
+            return
+        L, R = self.L, self.n_places
+        col = np.zeros(R - L + 1, dtype=np.int64)
+        for k, row in enumerate(self._window):
+            col += row[k : R - L + 1 + k]
+        dist = col / float(L)  # float64; exact for int sums
+        match = int(np.argmax(dist))
+        i0 = self._bin - L + 1  # query-window start this bin completes
+        self.logger.info(
+            f"The sequence match location for {i0} is place number: {match}"
+        )
+        self.matches.append(match)
+        self.n_matches_total += 1
+        if len(self.matches) > self.MATCHES_KEEP:
+            del self.matches[: len(self.matches) - self.MATCHES_KEEP]
+        colv = dist[:, None]
+        self.matrix = (
+            colv
+            if self.matrix is None
+            else np.concatenate((self.matrix, colv), axis=1)[
+                :, -self.MATRIX_KEEP_COLS :
+            ]
+        )
+        self._matrix_file.append(dist)
+        if self.n_matches_total % self.FLUSH_ROWS == 0:
+            self._matrix_file.flush()
+        del self._window[0]
+        self._bin += 1
+
+    def close(self) -> None:
+        self._matrix_file.close()
+
+
+def make_online_matcher(cfg: LensConfig, output_folder: str, logger):
+    """The config's streaming matcher: reference block protocol by default,
+    the full-matrix incremental matcher on --online_matcher full."""
+    if cfg.online_matcher == "full":
+        return FullOnlineMatcher(
+            cfg.reference_places, cfg.sequence_length, output_folder, logger
+        )
+    if cfg.online_matcher == "block":
+        return OnlineMatcher(
+            cfg.reference_places, cfg.sequence_length, output_folder, logger
+        )
+    raise ValueError(
+        f"unknown --online_matcher {cfg.online_matcher!r} (choices: block, full)"
+    )
+
+
 def run_event_driven(cfg: LensConfig):
     """Full --event_driven mode."""
     checker.check_args(cfg)
@@ -771,7 +877,7 @@ def run_event_driven(cfg: LensConfig):
 
         bins_iter = _frame_bins()
 
-    matcher = OnlineMatcher(cfg.reference_places, cfg.sequence_length, output_folder, logger)
+    matcher = make_online_matcher(cfg, output_folder, logger)
     power = PowerMonitor()
 
     # Live view (samnagui equivalent: activity + power rails + match readout,

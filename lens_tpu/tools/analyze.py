@@ -98,6 +98,25 @@ def analyze_online(matrix: np.ndarray, GT: np.ndarray, gt_tolerance: int) -> dic
     }
 
 
+def analyze_full_online(
+    matrix: np.ndarray, GT: np.ndarray, sequence_length: int, gt_tolerance: int
+) -> dict:
+    """Recall@N + PR for a full-matcher run's distance_matrix_online.npy
+    (--online_matcher full).
+
+    The artifact is ``sequence_conv(counts, L).T`` — one (R-L+1,) row per
+    query window, ALREADY sequence-matched — so it is transposed and scored
+    through the offline GT treatment (crop for L, dilate, transpose;
+    analyze() with apply_sequence=False).  GT's query axis is cropped to the
+    stream's bin count first: stream synthesis drops partial trailing bins,
+    so a streamed run can have fewer query bins than GT rows."""
+    S = np.asarray(matrix, np.float64).T  # (R-L+1, Q-L+1)
+    n_bins = matrix.shape[0] + sequence_length - 1
+    return analyze(
+        S, GT[:n_bins], sequence_length, gt_tolerance, apply_sequence=False
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Re-analyze a saved similarity matrix")
     p.add_argument("--matrix", required=True)
@@ -110,6 +129,12 @@ def main(argv=None) -> int:
         help="matrix is a streaming run's similarity_matrix.npy "
         "(matcher-column rows; scored against column-granularity GT)",
     )
+    p.add_argument(
+        "--full_online", action="store_true",
+        help="matrix is a full-matcher run's distance_matrix_online.npy "
+        "(query-window rows, already sequence-matched; scored through the "
+        "offline GT crop at --sequence_length)",
+    )
     p.add_argument("--out", default="", help="write results JSON here")
     args = p.parse_args(argv)
 
@@ -117,6 +142,8 @@ def main(argv=None) -> int:
     GT = np.load(args.gt)
     if args.online:
         res = analyze_online(S, GT, args.gt_tolerance)
+    elif args.full_online:
+        res = analyze_full_online(S, GT, args.sequence_length, args.gt_tolerance)
     else:
         res = analyze(
             S, GT, args.sequence_length, args.gt_tolerance, args.apply_sequence

@@ -96,3 +96,25 @@ def test_analyze_online_matches_online_recall_scoring():
     got = [round(res["recall_at_n"][n], 2) for n in (1, 5, 10, 15, 20, 25)]
     assert got == expected
     assert res["auc"] > 0
+
+
+def test_analyze_full_online_matches_offline_pipeline():
+    """analyze_full_online on a full-matcher artifact (sequence_conv(counts,
+    L).T, possibly fewer bins than GT queries) reproduces analyze() on the
+    raw counts exactly — the live --online_matcher full protocol IS the
+    offline pipeline."""
+    from lens_tpu.ops.seqmatch import sequence_conv
+    from lens_tpu.tools.analyze import analyze_full_online
+
+    rng = np.random.default_rng(9)
+    counts = rng.integers(0, 40, (27, 30)).astype(np.float64)  # 3 bins short
+    GT = np.eye(30)
+    L, tol = 4, 2
+
+    artifact = np.asarray(sequence_conv(counts, L)).T  # what the run writes
+    res_full = analyze_full_online(artifact, GT, L, tol)
+    res_raw = analyze(counts, GT[: counts.shape[0]], sequence_length=L,
+                      gt_tolerance=tol, apply_sequence=True)
+    assert res_full["recall_at_n"] == res_raw["recall_at_n"]
+    assert res_full["auc"] == res_raw["auc"]
+    np.testing.assert_array_equal(res_full["precision"], res_raw["precision"])
