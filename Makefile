@@ -2,7 +2,8 @@
 
 .PHONY: test bench bench-large native example example-fleet example-scale \
         example-aer infer infer-bf16 infer-quant train sweep serve stream \
-        dryrun clean online-recall chip-sweep chip-sweep-sunset results
+        dryrun clean online-recall chip-sweep chip-sweep-sunset seq-sweep \
+        results
 
 native:
 	g++ -O3 -shared -fPIC -o native/liblens_events.so native/lens_events.cpp
@@ -69,6 +70,14 @@ chip-sweep-sunset:
 		--trials_json lens_tpu/tools/chip_sunset_trial.json \
 		--save_best --json CHIP_SWEEP_SUNSET.json
 
+# Sequence-window (matched-L) characterization: LENS online/offline vs SAD
+# at every L on both traverses (BENCHMARKS.md matched-L section).  Runs on
+# the CPU backend (integer streaming dynamics are backend-exact), so it can
+# run while the TPU is busy.  Refreshes SEQ_SWEEP.json.  Deterministic.
+seq-sweep:
+	python -m lens_tpu.tools.seq_sweep --traverse all --seeds 3,0 --cpu \
+		--json SEQ_SWEEP.json
+
 dryrun:
 	python __graft_entry__.py --dryrun
 
@@ -76,9 +85,10 @@ dryrun:
 # maps each artifact to its command, git SHA, and expected band).  Runs
 # sequentially — the tunneled TPU serializes device claims, so never run
 # two of these targets concurrently yourself.
-results: bench-large online-recall chip-sweep dryrun
+results: bench-large online-recall chip-sweep chip-sweep-sunset seq-sweep dryrun
 	@echo "regenerated: BENCH_HEADLINE.json BENCH_LARGE.json" \
-	      "STREAM_RECALL.json lens/data/online/*.csv CHIP_SWEEP.json"
+	      "STREAM_RECALL.json lens/data/online/*.csv CHIP_SWEEP.json" \
+	      "CHIP_SWEEP_SUNSET.json SEQ_SWEEP.json"
 	@echo "see RESULTS.md for the expected bands"
 
 example:
