@@ -35,6 +35,7 @@ import functools
 import logging
 import os
 import time
+from collections import deque
 from typing import Optional, Tuple
 
 import jax
@@ -749,7 +750,13 @@ class FullOnlineMatcher:
         self._bin = 0
         self.matches: list = []
         self.n_matches_total = 0
-        self.matrix: Optional[np.ndarray] = None  # (R-L+1, cols) tail
+        # In-memory tail of emitted columns.  A deque of (R-L+1,) vectors —
+        # appending is O(1) per bin; the block matcher's concatenate-and-trim
+        # would copy the whole ~(R, 4096) tail EVERY bin here (one emit per
+        # bin vs one per 16).  `matrix` materializes on demand.  Trimmed at
+        # push time against MATRIX_KEEP_COLS (not deque maxlen) so the cap
+        # stays adjustable per instance.
+        self._cols: deque = deque()
         from lens_tpu.runtime.artifacts import NpyAppender
 
         self._matrix_file = NpyAppender(
@@ -777,19 +784,21 @@ class FullOnlineMatcher:
         self.n_matches_total += 1
         if len(self.matches) > self.MATCHES_KEEP:
             del self.matches[: len(self.matches) - self.MATCHES_KEEP]
-        colv = dist[:, None]
-        self.matrix = (
-            colv
-            if self.matrix is None
-            else np.concatenate((self.matrix, colv), axis=1)[
-                :, -self.MATRIX_KEEP_COLS :
-            ]
-        )
+        self._cols.append(dist)
+        while len(self._cols) > self.MATRIX_KEEP_COLS:
+            self._cols.popleft()
         self._matrix_file.append(dist)
         if self.n_matches_total % self.FLUSH_ROWS == 0:
             self._matrix_file.flush()
         del self._window[0]
         self._bin += 1
+
+    @property
+    def matrix(self) -> Optional[np.ndarray]:
+        """(R-L+1, cols) tail of emitted columns (None before first emit)."""
+        if not self._cols:
+            return None
+        return np.stack(tuple(self._cols), axis=1)
 
     def close(self) -> None:
         self._matrix_file.close()

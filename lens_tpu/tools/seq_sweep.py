@@ -42,9 +42,10 @@ import numpy as np
 
 from lens_tpu.metrics.gt import make_gt_tolerant
 from lens_tpu.metrics.vpr import recall_at_k
+from lens_tpu.ops.cdist import l1_cdist
 from lens_tpu.ops.seqmatch import sequence_conv
 from lens_tpu.run_model import RECALL_NS
-from lens_tpu.sad import run_sad
+from lens_tpu.sad import load_image_folder
 from lens_tpu.tools.chip_sweep import (
     EVENTS_PER_BIN,
     build_stream_rasters,
@@ -122,22 +123,38 @@ def sweep_traverse(root: str, traverse: str, seeds, events_per_bin: int) -> dict
         report["offline_conv_by_seed"][str(seed)] = offline_row
 
     print(f"[{traverse}] SAD L grid (deterministic)...")
+    report["sad_by_L"] = sad_L_grid(off, GT, verbose=True)
+    return report
+
+
+def sad_L_grid(off, GT: np.ndarray, verbose: bool = False) -> dict:
+    """SAD Recall/AUC at every L in OFFLINE_L_GRID, run_sad-identical scoring.
+
+    Only sequence_conv depends on L, so the PNG folders are loaded and the
+    full L1 distance matrix computed ONCE; each L then applies the window
+    conv + the same floor/reciprocal similarity transform as sad.run_sad
+    (sad.py:68-83) and scores against the L-matched tolerant GT."""
+    queries = load_image_folder(
+        os.path.join(off.data_dir, off.dataset, off.camera, off.query),
+        off.filter, off.query_places,
+    )
+    references = load_image_folder(
+        os.path.join(off.data_dir, off.dataset, off.camera, off.reference),
+        off.filter, off.reference_places,
+    )
+    dist = np.asarray(l1_cdist(queries, references))  # (Q, R), L-independent
+    out = {}
     for L in OFFLINE_L_GRID:
         GTtol = make_gt_tolerant(GT, L, off.GT_tolerance)
-        with tempfile.TemporaryDirectory() as td:
-            _, sad_recall = run_sad(
-                os.path.join(off.data_dir, off.dataset, off.camera, off.reference),
-                os.path.join(off.data_dir, off.dataset, off.camera, off.query),
-                GTtol, td, L, skip=off.filter,
-                n_ref=off.reference_places, n_query=off.query_places,
-            )
-        report["sad_by_L"][str(L)] = {
-            "auc": round(_auc(sad_recall), 3),
-            "recall": [round(v, 2) for v in sad_recall],
-        }
-        print(f"  SAD L={L}: AUC {report['sad_by_L'][str(L)]['auc']:6.3f}  "
-              f"R@N {report['sad_by_L'][str(L)]['recall']}")
-    return report
+        dist_seq = np.asarray(sequence_conv(dist, L))
+        floor = dist_seq[dist_seq > 0].min() if (dist_seq > 0).any() else 1.0
+        inv = 1.0 / np.maximum(dist_seq, floor)
+        sad_recall = [round(recall_at_k(inv, GTtol, K=n), 2) for n in RECALL_NS]
+        out[str(L)] = {"auc": round(_auc(sad_recall), 3), "recall": sad_recall}
+        if verbose:
+            print(f"  SAD L={L}: AUC {out[str(L)]['auc']:6.3f}  "
+                  f"R@N {out[str(L)]['recall']}")
+    return out
 
 
 def main(argv=None) -> int:

@@ -21,6 +21,7 @@ from lens_tpu.tools.online_recall import (
     traverse_configs,
 )
 from lens_tpu.utils import checkpoint
+from lens_tpu.utils.compat import trapezoid
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
@@ -33,8 +34,6 @@ def test_shipped_chip_model_beats_pretrained_online():
     canonical seed-0 stream (CHIP_SWEEP.json, BENCHMARKS.md).  The chip
     winner's architecture differs from the stock model's, so the name is
     discovered (find_chip_model), not derived."""
-    _trapz = getattr(np, "trapezoid", None) or np.trapz
-
     cfgs = traverse_configs(ROOT, "/tmp/chip_sweep_test_out")
     stream_cfg = cfgs["example"]["stream"]
     GT = np.load(gt_path_for(stream_cfg))
@@ -55,7 +54,7 @@ def test_shipped_chip_model_beats_pretrained_online():
     # SAD on example (STREAM_RECALL.json, driver-replayed every round).
     sad = [0.75, 0.84, 0.88, 0.91, 0.91, 0.94]
     ns = [1, 5, 10, 15, 20, 25]
-    sad_auc = float(_trapz(sad, ns))
+    sad_auc = float(trapezoid(sad, ns))
 
     # Deterministic pipeline: the shipped numbers reproduce exactly.
     assert chip_recalls == [0.79, 0.96, 1.0, 1.0, 1.0, 1.0], chip_recalls
@@ -85,8 +84,6 @@ def test_shipped_chip_sunset_beats_sad_online():
     data/Figure3/220724-16-14-33/SADvLENS_indoor.csv).  Deterministic
     pipeline (seeded synthesis, integer dynamics): the shipped numbers
     reproduce exactly (CHIP_SWEEP_SUNSET.json)."""
-    _trapz = getattr(np, "trapezoid", None) or np.trapz
-
     cfgs = traverse_configs(ROOT, "/tmp/chip_sweep_test_out")
     stream_cfg = cfgs["sunset"]["stream"]
     GT = np.load(gt_path_for(stream_cfg))
@@ -107,7 +104,7 @@ def test_shipped_chip_sunset_beats_sad_online():
     # SAD on sunset (STREAM_RECALL.json, driver-replayed every round).
     sad = [0.45, 0.67, 0.76, 0.81, 0.83, 0.86]
     ns = [1, 5, 10, 15, 20, 25]
-    sad_auc = float(_trapz(sad, ns))
+    sad_auc = float(trapezoid(sad, ns))
 
     assert chip_recalls == [0.41, 0.72, 0.81, 0.87, 0.9, 0.93], chip_recalls
     assert chip_auc > base_auc
