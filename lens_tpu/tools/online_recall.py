@@ -20,6 +20,17 @@ tool reproduces that result type with no hardware:
   5. emit the reference's artifact: an N,SAD,LENS_offline,LENS_online CSV
      plus a machine-readable JSON report.
 
+Where a bundled chip-sweep winner exists, two more rows are produced: the
+winner through the same block-matcher replay (`chip_online`), and the winner
+through the FULL-matrix online matcher at the matched-L peak
+(`chip_full_online`, --online_matcher full at L=FULL_MATCHER_L) with SAD
+re-scored at the SAME L (`sad_at_full_L`) — cross-method accuracy is only
+meaningful at matched L (BENCHMARKS.md matched-L section).  The full-matcher
+replay goes through the identical --event_driven CLI path and is scored via
+analyze_full_online, so it cross-checks SEQ_SWEEP.json's offline-conv column
+through an independent pipeline (they must agree exactly: the matcher is
+bit-equal to sequence_conv, tests/test_stream_full_matcher.py).
+
 Model preparation mirrors tests/test_stream_recall_e2e.py: the float
 checkpoint's weights are scaled by the streaming threshold overrides
 (w_feat x10, w_out x2) — a threshold change is exactly compensated by a
@@ -66,6 +77,11 @@ EVENTS_PER_BIN = 20_000  # on-chip density: ~8e4 ev/s at 250 ms bins
 # Streaming threshold compensation (run_speck.py:143-144 overrides 10/2;
 # a linear IAF layer's spikes are invariant under (w, thr) -> (c*w, c*thr)).
 FEAT_SCALE, OUT_SCALE = 10.0, 2.0
+# Matched-L operating point for the full-matrix online matcher row: the
+# largest L of the matched-L characterization grid (SEQ_SWEEP.json /
+# BENCHMARKS.md), where longer temporal evidence helps every matcher and the
+# chip winners' margin over SAD is widest.
+FULL_MATCHER_L = 10
 
 
 def traverse_configs(root: str, out_base: str) -> dict:
@@ -113,19 +129,24 @@ def prepare_stream_model(cfg: LensConfig, models_dir: str, tmp_dir: str) -> None
     checkpoint.save_model(tmp_dir, cfg.model_name(), rescaled, cfg.to_json())
 
 
-def load_online_matrix(output_base: str) -> np.ndarray:
-    """(n_places, n_cols) similarity matrix from the newest run's artifact
-    (the appender stores one (n_places,) row per sequence column).
-
-    Newest by MTIME, not by name: run dirs are %d%m%y-%H-%M-%S (day-first),
-    which misorders lexicographically across day/month boundaries — a sweep
-    crossing midnight into a new month would silently re-score the previous
-    run's matrix (same fix as bench.py's live-stream section)."""
-    run_dir = max(
+def _newest_run_dir(output_base: str) -> str:
+    """Newest run dir by MTIME, not by name: run dirs are %d%m%y-%H-%M-%S
+    (day-first), which misorders lexicographically across day/month
+    boundaries — a sweep crossing midnight into a new month would silently
+    re-score the previous run's matrix (same fix as bench.py's live-stream
+    section)."""
+    return max(
         (os.path.join(output_base, d) for d in os.listdir(output_base)),
         key=os.path.getmtime,
     )
-    return np.load(os.path.join(run_dir, "similarity_matrix.npy")).T
+
+
+def load_online_matrix(output_base: str) -> np.ndarray:
+    """(n_places, n_cols) similarity matrix from the newest run's artifact
+    (the appender stores one (n_places,) row per sequence column)."""
+    return np.load(
+        os.path.join(_newest_run_dir(output_base), "similarity_matrix.npy")
+    ).T
 
 
 def streaming_column_gt(GT: np.ndarray, tolerance: int, n_cols: int) -> np.ndarray:
@@ -204,6 +225,30 @@ def run_stream_once(
         t0 = time.perf_counter()
         run_event_driven(stream)
         stream_wall = time.perf_counter() - t0
+    if stream.online_matcher == "full":
+        # Full-matrix matcher runs emit distance_matrix_online.npy (one
+        # (R-L+1,) row per query window, already sequence-matched) and are
+        # scored through the OFFLINE pipeline's GT treatment — the matcher
+        # is bit-equal to sequence_conv (tests/test_stream_full_matcher.py).
+        from lens_tpu.tools.analyze import analyze_full_online
+
+        M = np.load(
+            os.path.join(
+                _newest_run_dir(stream.output_base),
+                "distance_matrix_online.npy",
+            )
+        )
+        scored = analyze_full_online(
+            M, GT, stream.sequence_length, stream.GT_tolerance
+        )
+        return {
+            "events_per_bin": events_per_bin,
+            "online": [round(v, 2) for v in scored["recall_at_n"].values()],
+            "auc": round(scored["auc"], 3),
+            "n_match_columns": int(M.shape[0]),
+            "stream_wall_s": round(stream_wall, 1),
+            "_matrix": M.T,
+        }
     S_stream = load_online_matrix(stream.output_base)
     return {
         "events_per_bin": events_per_bin,
@@ -287,6 +332,38 @@ def run_traverse(name: str, cfgs: dict, events_per_bin: int, seed: int) -> dict:
         report["chip_model"] = chip_name
         report["chip_online"] = crun["online"]
         report["chip_stream_wall_s"] = crun["stream_wall_s"]
+
+        # --- full-matrix online matcher at the matched-L peak: the live
+        # streaming path that carries the offline pipeline's accuracy
+        # (--online_matcher full; bit-equal to sequence_conv by
+        # tests/test_stream_full_matcher.py).  SAD is re-scored at the SAME
+        # L — cross-method accuracy is only meaningful at matched L
+        # (BENCHMARKS.md matched-L section, SEQ_SWEEP.json).
+        full_stream = _replace(
+            chip_stream,
+            online_matcher="full",
+            sequence_length=FULL_MATCHER_L,
+        )
+        frun = run_stream_once(
+            full_stream, GT, events_per_bin, seed, params=chip_params
+        )
+        report["chip_full_L"] = FULL_MATCHER_L
+        report["chip_full_online"] = frun["online"]
+        report["chip_full_auc"] = frun["auc"]
+        report["chip_full_stream_wall_s"] = frun["stream_wall_s"]
+
+        GTtolL = make_gt_tolerant(GT, FULL_MATCHER_L, off.GT_tolerance)
+        _, sad_L = run_sad(
+            os.path.join(off.data_dir, off.dataset, off.camera, off.reference),
+            os.path.join(off.data_dir, off.dataset, off.camera, off.query),
+            GTtolL,
+            res.output_folder,
+            FULL_MATCHER_L,
+            skip=off.filter,
+            n_ref=off.reference_places,
+            n_query=off.query_places,
+        )
+        report["sad_at_full_L"] = sad_L
     return report
 
 
@@ -321,8 +398,12 @@ def write_overlay_csv(path: str, report: dict) -> None:
         w = csv.writer(f)
         header = ["N", "SAD", "LENS_offline", "LENS_online"]
         chip = report.get("chip_online")
+        full = report.get("chip_full_online")
+        L = report.get("chip_full_L")
         if chip:
             header.append("LENS_chip_online")
+        if full:
+            header += [f"SAD_L{L}", f"LENS_chip_full_L{L}"]
         w.writerow(header)
         for i, n in enumerate(report["recall_ns"]):
             row = [
@@ -330,6 +411,8 @@ def write_overlay_csv(path: str, report: dict) -> None:
             ]
             if chip:
                 row.append(chip[i])
+            if full:
+                row += [report["sad_at_full_L"][i], full[i]]
             w.writerow(row)
 
 
@@ -374,6 +457,10 @@ def main(argv=None) -> int:
         ]
         if rep.get("chip_online"):
             rows.insert(0, ["LENS chip online", *rep["chip_online"]])
+        if rep.get("chip_full_online"):
+            L = rep["chip_full_L"]
+            rows.insert(0, [f"LENS chip full L={L}", *rep["chip_full_online"]])
+            rows.append([f"SAD L={L}", *rep["sad_at_full_L"]])
         print(ascii_table(["N", *map(str, rep["recall_ns"])], rows))
         if args.csv_dir:
             write_overlay_csv(

@@ -151,6 +151,20 @@ def test_streaming_recall_within_margin_of_offline(stream_run, example_paths):
         # Online accuracy must not DEGRADE with density (the chip-threshold
         # regime's defining property, BENCHMARKS.md density table).
         assert by_density[0]["online"][0] <= by_density[-1]["online"][0]
+        # The full-matrix live matcher rows (--online_matcher full at the
+        # matched-L peak): the chip winners must beat SAD at the SAME L at
+        # every N on BOTH traverses — the round-5 headline accuracy claim,
+        # carried live through the --event_driven CLI path.  The full
+        # matcher is bit-equal to the offline sequence conv, so these rows
+        # must also agree with SEQ_SWEEP.json's seed-0 chip offline-conv
+        # column (independent pipeline cross-check).
+        for r in data["reports"]:
+            full, sadL = r.get("chip_full_online"), r.get("sad_at_full_L")
+            assert full and sadL and r["chip_full_L"] == 10, r["traverse"]
+            assert all(f >= s for f, s in zip(full, sadL)), (
+                r["traverse"], full, sadL
+            )
+            assert full[0] > sadL[0], (r["traverse"], full, sadL)
 
 
 def test_streaming_output_density_is_realistic(stream_run):
